@@ -1,0 +1,213 @@
+"""Golden tests for core device ops against numpy/cv2/torch reference
+formulas (the same oracles the reference framework uses)."""
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from xpoint_tpu.ops import (
+    space_to_depth, depth_to_space, warp_image, box_nms,
+    prob_from_logits, interpolate_descriptors, mnn_match,
+)
+from xpoint_tpu.ops.nms import extract_keypoints
+from xpoint_tpu.geometry import (
+    sample_homography, compute_valid_mask, warp_keypoints, filter_points,
+    warp_points,
+)
+
+
+def torch_space_to_depth(x, bs):
+    import torch
+    x = torch.from_numpy(x)
+    N, C, H, W = x.shape
+    x = x.view(N, C, H // bs, bs, W // bs, bs)
+    x = x.permute(0, 3, 5, 1, 2, 4).contiguous()
+    return x.view(N, C * bs * bs, H // bs, W // bs).numpy()
+
+
+def test_space_to_depth_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 1, 16, 24)).astype(np.float32)
+    ref = torch_space_to_depth(x, 8)                  # (2, 64, 2, 3)
+    ours = np.asarray(space_to_depth(jnp.asarray(x[:, 0]), 8))  # (2, 2, 3, 64)
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref, atol=1e-6)
+
+
+def test_depth_to_space_roundtrip():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 16, 24)).astype(np.float32)
+    cells = space_to_depth(jnp.asarray(x), 8)
+    back = depth_to_space(cells, 8)[..., 0]
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-6)
+
+
+def test_prob_from_logits_matches_torch_pixelshuffle():
+    import torch
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(2, 4, 5, 65)).astype(np.float32)
+    ours = np.asarray(prob_from_logits(jnp.asarray(logits), 8))
+
+    t = torch.from_numpy(logits).permute(0, 3, 1, 2)  # NCHW
+    prob = torch.nn.Softmax2d()(t)
+    prob = torch.nn.PixelShuffle(8)(prob[:, :-1])
+    np.testing.assert_allclose(ours, prob[:, 0].numpy(), atol=1e-5)
+
+
+def test_warp_image_matches_cv2():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(size=(64, 80)).astype(np.float32)
+    H = sample_homography((64, 80), rng=rng)
+    ref = cv2.warpPerspective(img, H, (80, 64), flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_CONSTANT)
+    ours = np.asarray(warp_image(jnp.asarray(img[..., None]),
+                                 jnp.asarray(H), "bilinear", "zeros"))[..., 0]
+    # compare away from the border-handling zone (cv2 treats out-of-range
+    # source samples as fully-constant; interior must agree)
+    valid = cv2.warpPerspective(np.ones((64, 80)), H, (80, 64),
+                                flags=cv2.INTER_NEAREST)
+    valid = cv2.erode(valid, np.ones((5, 5)), iterations=1).astype(bool)
+    diff = np.abs(ref - ours)[valid]
+    assert diff.max() < 1e-3, diff.max()
+
+
+def test_warp_image_reflection_matches_cv2():
+    rng = np.random.default_rng(4)
+    img = rng.uniform(size=(48, 56)).astype(np.float32)
+    H = sample_homography((48, 56), rng=rng)
+    ref = cv2.warpPerspective(img, H, (56, 48), flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_REFLECT_101)
+    ours = np.asarray(warp_image(jnp.asarray(img[..., None]),
+                                 jnp.asarray(H), "bilinear", "reflection"))[..., 0]
+    # interior must agree exactly; reflected border regions agree as long as
+    # the reflection stays within one period
+    center = np.zeros((48, 56), dtype=bool)
+    center[8:-8, 8:-8] = True
+    assert np.abs(ref - ours)[center].max() < 1e-3
+
+
+def test_warp_points_matches_cv2():
+    rng = np.random.default_rng(5)
+    kps = rng.uniform(0, 60, size=(30, 2)).astype(np.float64)
+    H = sample_homography((64, 64), rng=rng)
+    ref64 = warp_keypoints(kps, H, return_type=float)
+    ours = np.asarray(warp_points(jnp.asarray(kps[None].astype(np.float32)),
+                                  jnp.asarray(H[None].astype(np.float32))))[0]
+    # float32 numpy oracle (same arithmetic precision as the device op)
+    xy1 = np.concatenate([kps[:, ::-1], np.ones((len(kps), 1))], 1).astype(np.float32)
+    w = (H.astype(np.float32) @ xy1.T).T
+    ref32 = (w[:, :2] / w[:, 2:])[:, ::-1]
+    np.testing.assert_allclose(ours, ref32, atol=1e-3)
+    # and fp64 cv2 agrees to sub-pixel
+    np.testing.assert_allclose(ours, ref64, atol=0.5)
+
+
+def test_filter_points():
+    pts = np.array([[0, 0], [-1, 3], [5, 5], [9, 9], [10, 5], [5, 10]])
+    out = filter_points(pts, (10, 10))
+    np.testing.assert_array_equal(out, np.array([[0, 0], [5, 5], [9, 9]]))
+
+
+def test_box_nms_matches_reference_semantics():
+    """Greedy equal-box NMS against a brute-force numpy implementation of the
+    reference box_nms (utils.py:148-192)."""
+    rng = np.random.default_rng(6)
+    prob = rng.uniform(size=(48, 48)).astype(np.float32)
+    prob[prob < 0.8] = 0.0
+    size, min_prob, iou = 8, 0.015, 0.1
+
+    ours = np.asarray(box_nms(jnp.asarray(prob), size, min_prob, iou))
+
+    # numpy greedy reference
+    pts = np.argwhere(prob > min_prob)
+    scores = prob[pts[:, 0], pts[:, 1]]
+    order = np.argsort(-scores)
+    pts, scores = pts[order], scores[order]
+    keep = []
+    for i in range(len(pts)):
+        ok = True
+        for j in keep:
+            dy = abs(float(pts[i, 0] - pts[j, 0]))
+            dx = abs(float(pts[i, 1] - pts[j, 1]))
+            inter = max(size - dy, 0) * max(size - dx, 0)
+            if inter / (2 * size * size - inter) > iou:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    ref = np.zeros_like(prob)
+    for j in keep:
+        ref[pts[j, 0], pts[j, 1]] = scores[j]
+
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_box_nms_top_k():
+    rng = np.random.default_rng(7)
+    prob = rng.uniform(size=(64, 64)).astype(np.float32)
+    out = np.asarray(box_nms(jnp.asarray(prob), 4, 0.5, keep_top_k=5))
+    assert (out > 0).sum() == 5
+
+
+def test_extract_keypoints_static():
+    prob = np.zeros((16, 16), np.float32)
+    prob[3, 4] = 0.9
+    prob[10, 2] = 0.5
+    kps, scores, mask = extract_keypoints(jnp.asarray(prob), k=8, min_prob=0.1)
+    kps, scores, mask = map(np.asarray, (kps, scores, mask))
+    assert mask.sum() == 2
+    assert (kps[0] == [3, 4]).all() and scores[0] == pytest.approx(0.9)
+    assert (kps[1] == [10, 2]).all()
+
+
+def test_interpolate_descriptors_matches_torch():
+    import torch
+    rng = np.random.default_rng(8)
+    desc_map = rng.normal(size=(8, 10, 16)).astype(np.float32)
+    kps = rng.uniform(0, 63, size=(20, 2)).astype(np.float32)
+    H, W = 64, 80
+
+    ours = np.asarray(interpolate_descriptors(
+        jnp.asarray(kps), jnp.asarray(desc_map), (H, W)))
+
+    kp_t = torch.from_numpy(kps.copy())
+    kp_t[:, 0] = kp_t[:, 0] / (H * 0.5) - 1.0
+    kp_t[:, 1] = kp_t[:, 1] / (W * 0.5) - 1.0
+    kp_t = torch.flip(kp_t.view(1, 1, -1, 2), [3])
+    dm = torch.from_numpy(desc_map).permute(2, 0, 1)
+    ref = torch.nn.functional.grid_sample(dm.unsqueeze(0), kp_t,
+                                          align_corners=True)[0, :, 0, :].T
+    ref = torch.nn.functional.normalize(ref, p=2, dim=1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_mnn_match_matches_numpy_reference():
+    rng = np.random.default_rng(9)
+    d1 = rng.normal(size=(40, 32)).astype(np.float32)
+    d2 = rng.normal(size=(50, 32)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+
+    idx2, dist, matched = mnn_match(jnp.asarray(d1), jnp.asarray(d2),
+                                    threshold=0.7)
+    idx2, dist, matched = map(np.asarray, (idx2, dist, matched))
+
+    # reference NNMatcher (matching.py:44-75)
+    dmat = np.sqrt(2 - 2 * np.clip(d1 @ d2.T, -1, 1))
+    nn_idx = np.argmin(dmat, axis=1)
+    scores = dmat[np.arange(len(d1)), nn_idx]
+    keep = scores < 0.7
+    idx_rev = np.argmin(dmat, axis=0)
+    keep &= np.arange(len(nn_idx)) == idx_rev[nn_idx]
+
+    np.testing.assert_array_equal(matched, keep)
+    np.testing.assert_array_equal(idx2[matched], nn_idx[keep])
+    np.testing.assert_allclose(dist[matched], scores[keep], atol=1e-5)
+
+
+def test_compute_valid_mask_erosion():
+    H = sample_homography((32, 32), rng=np.random.default_rng(10))
+    m0 = compute_valid_mask((32, 32), H, erosion_radius=0)
+    m1 = compute_valid_mask((32, 32), H, erosion_radius=3, mask_border=True)
+    assert m1.sum() < m0.sum()
+    assert set(np.unique(m0)) <= {0.0, 1.0}

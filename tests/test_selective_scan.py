@@ -1,0 +1,139 @@
+"""Selective-scan parity tests, modeled on the reference kernel test grid
+(vmamba_src/kernels/selective_scan/test_selective_scan.py) with the torch
+sequential recurrence as the oracle."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xpoint_tpu.ops.selective_scan import (
+    selective_scan, selective_scan_ref, selective_scan_assoc,
+)
+from xpoint_tpu.ops.cross_scan import cross_scan, cross_merge
+
+
+def torch_oracle(u, delta, A, B, C, D, delta_bias, delta_softplus=True):
+    """Port of reference selective_scan_torch (csms6s.py:25-68) in numpy."""
+    Batch, K, N, L = B.shape
+    KC = u.shape[1]
+    Cdim = KC // K
+    delta = delta.astype(np.float64)
+    if delta_bias is not None:
+        delta = delta + delta_bias[None, :, None]
+    if delta_softplus:
+        delta = np.log1p(np.exp(-np.abs(delta))) + np.maximum(delta, 0)
+    u64 = u.astype(np.float64)
+    Bx = np.repeat(B, Cdim, axis=1).astype(np.float64)
+    Cx = np.repeat(C, Cdim, axis=1).astype(np.float64)
+    A = A.astype(np.float64)
+
+    deltaA = np.exp(np.einsum("bdl,dn->bdln", delta, A))
+    deltaBu = np.einsum("bdl,bdnl,bdl->bdln", delta, Bx, u64)
+    h = np.zeros((Batch, KC, N))
+    ys = []
+    for i in range(L):
+        h = deltaA[:, :, i] * h + deltaBu[:, :, i]
+        ys.append(np.einsum("bdn,bdn->bd", h, Cx[:, :, :, i]))
+    y = np.stack(ys, axis=2)
+    if D is not None:
+        y = y + u64 * D[None, :, None]
+    return y
+
+
+def make_params(rng, Batch=2, K=4, Cdim=6, N=4, L=128):
+    KC = K * Cdim
+    u = rng.normal(size=(Batch, KC, L)).astype(np.float32)
+    delta = (0.5 * rng.uniform(size=(Batch, KC, L))).astype(np.float32)
+    A = (-0.5 * rng.uniform(size=(KC, N))).astype(np.float32)
+    B = rng.normal(size=(Batch, K, N, L)).astype(np.float32)
+    C = rng.normal(size=(Batch, K, N, L)).astype(np.float32)
+    D = rng.normal(size=(KC,)).astype(np.float32)
+    delta_bias = (0.5 * rng.uniform(size=(KC,))).astype(np.float32)
+    return u, delta, A, B, C, D, delta_bias
+
+
+@pytest.mark.parametrize("backend", ["ref", "assoc"])
+@pytest.mark.parametrize("L", [64, 333])
+@pytest.mark.parametrize("N", [1, 4])
+def test_selective_scan_matches_oracle(backend, L, N):
+    rng = np.random.default_rng(42)
+    args = make_params(rng, N=N, L=L)
+    ref = torch_oracle(*args)
+    out = selective_scan(*[jnp.asarray(a) for a in args], backend=backend)
+    # fp32 compute vs fp64 oracle: per-step rounding accumulates over L
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("with_D,with_bias,softplus", [
+    (False, False, False), (True, False, True), (False, True, True),
+])
+def test_selective_scan_flags(with_D, with_bias, softplus):
+    rng = np.random.default_rng(7)
+    u, delta, A, B, C, D, delta_bias = make_params(rng, L=96)
+    D_ = D if with_D else None
+    db_ = delta_bias if with_bias else None
+    ref = torch_oracle(u, delta, A, B, C, D_, db_, softplus)
+    out = selective_scan_assoc(jnp.asarray(u), jnp.asarray(delta), jnp.asarray(A),
+                               jnp.asarray(B), jnp.asarray(C),
+                               None if D_ is None else jnp.asarray(D_),
+                               None if db_ is None else jnp.asarray(db_),
+                               softplus)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
+
+
+def test_selective_scan_gradients_match_between_backends():
+    rng = np.random.default_rng(3)
+    args = [jnp.asarray(a) for a in make_params(rng, Batch=1, Cdim=2, N=2, L=64)]
+
+    def loss(fn, u, delta, A, B, C, D, db):
+        return jnp.sum(fn(u, delta, A, B, C, D, db, True) ** 2)
+
+    g_ref = jax.grad(lambda *a: loss(selective_scan_ref, *a), argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    g_assoc = jax.grad(lambda *a: loss(selective_scan_assoc, *a), argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    for gr, ga in zip(g_ref, g_assoc):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gr),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_cross_scan_matches_torch_reference():
+    import torch
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 5, 7, 3)).astype(np.float32)
+
+    ours = np.asarray(cross_scan(jnp.asarray(x)))      # (B, 4, L, C)
+
+    # reference cross_scan_fwd with in/out channel_first (csm_triton.py:22-29)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)       # (B, C, H, W)
+    B, C, H, W = xt.shape
+    y = xt.new_empty((B, 4, C, H * W))
+    y[:, 0] = xt.flatten(2, 3)
+    y[:, 1] = xt.transpose(2, 3).flatten(2, 3)
+    y[:, 2:4] = torch.flip(y[:, 0:2], dims=[-1])
+    ref = y.numpy()
+    np.testing.assert_allclose(ours.transpose(0, 1, 3, 2), ref, atol=1e-6)
+
+
+def test_cross_merge_inverts_cross_scan():
+    import torch
+    rng = np.random.default_rng(12)
+    ys = rng.normal(size=(2, 4, 5 * 7, 3)).astype(np.float32)
+
+    ours = np.asarray(cross_merge(jnp.asarray(ys), 5, 7))
+
+    # reference cross_merge_fwd (csm_triton.py:56-62)
+    yt = torch.from_numpy(ys).permute(0, 1, 3, 2).reshape(2, 4, 3, 5, 7)
+    B, K, D, H, W = yt.shape
+    yt = yt.view(B, K, D, -1)
+    yt = yt[:, 0:2] + yt[:, 2:4].flip(dims=[-1]).view(B, 2, D, -1)
+    yt = yt[:, 0] + yt[:, 1].view(B, -1, W, H).transpose(2, 3).contiguous().view(B, D, -1)
+    ref = yt.view(B, D, H, W).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_cross_scan_merge_roundtrip_counts():
+    # merging the scan of x returns 4x the contribution of each pixel
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(1, 4, 6, 2)).astype(np.float32))
+    merged = cross_merge(cross_scan(x), 4, 6)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(4 * x), atol=1e-5)

@@ -1,0 +1,17 @@
+from .homography import (
+    sample_homography,
+    sample_homography_corner,
+    compute_valid_mask,
+    warp_keypoints,
+    filter_points,
+    warp_points,
+)
+
+__all__ = [
+    "sample_homography",
+    "sample_homography_corner",
+    "compute_valid_mask",
+    "warp_keypoints",
+    "filter_points",
+    "warp_points",
+]

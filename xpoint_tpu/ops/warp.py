@@ -1,0 +1,110 @@
+"""On-device homography image warping (the TPU replacement for
+cv2.warpPerspective and kornia.homography_warp — SURVEY.md §2 native item 6/7).
+
+Convention: a homography ``H`` maps SOURCE pixel coords to DESTINATION pixel
+coords in cv2 (x=col, y=row) order, exactly like cv2.warpPerspective /
+kornia.warp_perspective. The warp therefore samples
+``out[y, x] = src(H^-1 @ [x, y, 1])`` with bilinear or nearest interpolation.
+
+Sampling is at exact pixel positions (align_corners=True semantics), which
+matches both cv2.warpPerspective INTER_LINEAR and the kornia 0.1.4 warp used
+by the reference (homographies.py:561-584).
+
+Padding modes: 'zeros' and 'reflection' (mirror about pixel centers, i.e.
+cv2.BORDER_REFLECT_101 / grid_sample padding_mode='reflection').
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _reflect_101(coord, size):
+    """Reflect coordinate into [0, size-1] without repeating the edge."""
+    period = 2.0 * (size - 1.0)
+    coord = jnp.mod(coord, period)
+    return jnp.where(coord > (size - 1.0), period - coord, coord)
+
+
+def _sample_bilinear(img, ys, xs, padding_mode):
+    """img: (H, W, C); ys/xs: (...,) float sample positions."""
+    H, W = img.shape[0], img.shape[1]
+    if padding_mode == "reflection":
+        ys = _reflect_101(ys, H)
+        xs = _reflect_101(xs, W)
+
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        vals = img[yc, xc]
+        if padding_mode == "zeros":
+            inb = ((yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1))
+            vals = vals * inb[..., None].astype(vals.dtype)
+        return vals
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _sample_nearest(img, ys, xs, padding_mode):
+    H, W = img.shape[0], img.shape[1]
+    if padding_mode == "reflection":
+        ys = _reflect_101(ys, H)
+        xs = _reflect_101(xs, W)
+    yi = jnp.round(ys).astype(jnp.int32)
+    xi = jnp.round(xs).astype(jnp.int32)
+    yc = jnp.clip(yi, 0, H - 1)
+    xc = jnp.clip(xi, 0, W - 1)
+    vals = img[yc, xc]
+    if padding_mode == "zeros":
+        inb = ((yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1))
+        vals = vals * inb[..., None].astype(vals.dtype)
+    return vals
+
+
+@partial(jax.jit, static_argnames=("mode", "padding_mode", "dsize"))
+def warp_image(image, homography, mode="bilinear", padding_mode="zeros", dsize=None):
+    """Warp a single image by a homography.
+
+    Args:
+        image: (H, W, C) array.
+        homography: (3, 3) source->destination pixel homography (cv2 x/y).
+        mode: 'bilinear' | 'nearest'.
+        padding_mode: 'zeros' | 'reflection'.
+        dsize: optional (H_out, W_out); defaults to the input size.
+
+    Returns:
+        (H_out, W_out, C) warped image.
+    """
+    H_out, W_out = dsize if dsize is not None else image.shape[:2]
+    Hinv = jnp.linalg.inv(homography.astype(jnp.float32))
+    ys_d, xs_d = jnp.meshgrid(jnp.arange(H_out, dtype=jnp.float32),
+                              jnp.arange(W_out, dtype=jnp.float32), indexing="ij")
+    denom = Hinv[2, 0] * xs_d + Hinv[2, 1] * ys_d + Hinv[2, 2]
+    xs_s = (Hinv[0, 0] * xs_d + Hinv[0, 1] * ys_d + Hinv[0, 2]) / denom
+    ys_s = (Hinv[1, 0] * xs_d + Hinv[1, 1] * ys_d + Hinv[1, 2]) / denom
+    if mode == "bilinear":
+        return _sample_bilinear(image, ys_s, xs_s, padding_mode)
+    elif mode == "nearest":
+        return _sample_nearest(image, ys_s, xs_s, padding_mode)
+    raise ValueError(f"unknown interpolation mode: {mode}")
+
+
+@partial(jax.jit, static_argnames=("mode", "padding_mode", "dsize"))
+def warp_image_batch(images, homographies, mode="bilinear", padding_mode="zeros",
+                     dsize=None):
+    """Batched warp: images (B, H, W, C), homographies (B, 3, 3)."""
+    fn = partial(warp_image, mode=mode, padding_mode=padding_mode, dsize=dsize)
+    return jax.vmap(fn)(images, homographies)
