@@ -1,0 +1,64 @@
+"""Driver benchmark: optical-thermal pairs/sec (detect+describe+match) at 512².
+
+Runs the fused pipeline (two forwards + cell-softmax + box-NMS + top-k +
+descriptor sampling + MNN matching) as one jit program on the flagship
+VMamba-encoder XPoint model, reproducing the reference's timed chain
+(benchmark.py:151-164: two_forward + nms + interpolate, cuda-synchronized).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from xpoint_tpu.models import build_xpoint
+    from xpoint_tpu.eval import make_pair_pipeline
+    from __graft_entry__ import VMAMBA_MODEL_CFG
+
+    B, H, W = 2, 512, 512
+    module, _ = build_xpoint(VMAMBA_MODEL_CFG)
+    rng = np.random.default_rng(0)
+    img_o = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    img_t = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+
+    t0 = time.time()
+    # params are resolution-independent: init on a small image for speed
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 1), jnp.float32),
+                            method=module.init_all)
+    print(f"# init: {time.time()-t0:.1f}s", flush=True)
+
+    pipeline = make_pair_pipeline(module, (H, W), k=1024, nms_size=8,
+                                  detection_threshold=0.015)
+
+    t0 = time.time()
+    out = pipeline(variables, img_o, img_t)
+    jax.block_until_ready(out)
+    print(f"# compile+first run: {time.time()-t0:.1f}s", flush=True)
+
+    # steady state
+    n_iters = 10
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = pipeline(variables, img_o, img_t)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n_iters
+    pairs_per_sec = B / dt
+    print(f"# steady-state: {dt*1000:.1f} ms/batch of {B} pairs "
+          f"({int(out['matched'].sum())} matches)", flush=True)
+
+    print(json.dumps({
+        "metric": "optical-thermal pairs/sec (detect+describe+match) at 512^2",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,18 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh so the
-suite works without TPU hardware and exercises multi-chip sharding.
+"""Test configuration: force the CPU backend with a virtual 8-device mesh.
 
-Must override JAX_PLATFORMS (the environment presets the TPU 'axon' platform)
-before jax is imported anywhere in the test process.
+The container's sitecustomize pre-imports jax with JAX_PLATFORMS=axon (the
+real TPU tunnel), so plain env-var assignment here is too late. jax.config
+can still be updated after import as long as no backend has initialized,
+and XLA_FLAGS is read at backend-init time.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()

@@ -1,0 +1,125 @@
+"""Data pipeline + end-to-end training integration tests (the reference's
+integration strategy: SURVEY.md §4 — train a few steps on SyntheticShapes)."""
+import os
+
+import numpy as np
+import pytest
+
+from xpoint_tpu.data import SyntheticShapes, ImagePairDataset, DataLoader
+
+
+SYNTH_CFG = {
+    'length': 8,
+    'generation_size': [120, 160],
+    'image_size': [64, 64],
+    'augmentation': {
+        'photometric': {'enable': True},
+        'homographic': {'enable': True, 'valid_border_margin': 2},
+    },
+}
+
+
+def test_synthetic_shapes_sample_contract():
+    ds = SyntheticShapes(SYNTH_CFG)
+    assert len(ds) == 8 and not ds.returns_pair()
+    s = ds[0]
+    assert s['image'].shape == (64, 64, 1)
+    assert s['image'].dtype == np.float32
+    assert 0.0 <= s['image'].min() and s['image'].max() <= 1.0
+    assert s['keypoints'].shape == (64, 64) and s['keypoints'].dtype == bool
+    assert s['valid_mask'].shape == (64, 64)
+    assert s['is_optical'].shape == (1,)
+
+
+def test_synthetic_shapes_keypoints_on_corners():
+    """Without augmentation, keypoints must coincide with drawn structure."""
+    cfg = dict(SYNTH_CFG)
+    cfg['augmentation'] = {'photometric': {'enable': False},
+                           'homographic': {'enable': False}}
+    cfg['primitives'] = ['draw_checkerboard']
+    ds = SyntheticShapes(cfg)
+    found = False
+    for i in range(4):
+        s = ds[i]
+        if s['keypoints'].sum() > 4:
+            found = True
+    assert found, "checkerboard generated no keypoints"
+
+
+def _make_pair_hdf5(path, n=4, size=(96, 96)):
+    import h5py
+    rng = np.random.default_rng(0)
+    with h5py.File(path, 'w') as f:
+        for i in range(n):
+            g = f.create_group(f"sample_{i}")
+            g.create_dataset('optical', data=rng.uniform(size=size))
+            g.create_dataset('thermal', data=rng.uniform(size=size))
+    return path
+
+
+def test_image_pair_dataset_pair_mode(tmp_path):
+    h5 = _make_pair_hdf5(str(tmp_path / "pairs.hdf5"))
+    ds = ImagePairDataset({
+        'filename': h5, 'height': 64, 'width': 64, 'single_image': False,
+        'augmentation': {'homographic': {
+            'enable': True, 'border_reflect': True,
+            'params': {'corner_homography': {
+                'enable': False, 'params': {'patch_size': 32, 'rho': 8}}},
+            'valid_border_margin': 0, 'mask_border': True}},
+    })
+    assert ds.returns_pair() and len(ds) == 4
+    s = ds[0]
+    for side in ('optical', 'thermal'):
+        assert s[side]['image'].shape == (64, 64, 1)
+        assert s[side]['homography'].shape == (3, 3)
+        assert s[side]['valid_mask'].shape == (64, 64)
+    # exactly one side warped (identity on the other)
+    ho = s['optical']['homography']
+    ht = s['thermal']['homography']
+    assert (np.allclose(ho, np.eye(3)) != np.allclose(ht, np.eye(3)))
+    assert s['hfour_points'].shape == (4, 2)
+
+
+def test_image_pair_dataset_single_mode(tmp_path):
+    h5 = _make_pair_hdf5(str(tmp_path / "pairs2.hdf5"))
+    ds = ImagePairDataset({'filename': h5, 'height': 64, 'width': 64,
+                           'single_image': True})
+    s = ds[1]
+    assert s['image'].shape == (64, 64, 1)
+    assert s['is_optical'].shape == (1,)
+
+
+def test_dataloader_collate_and_prefetch(tmp_path):
+    ds = SyntheticShapes(dict(SYNTH_CFG, length=6))
+    loader = DataLoader(ds, batch_size=3, shuffle=True, prefetch=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]['image'].shape == (3, 64, 64, 1)
+    assert batches[0]['keypoints'].shape == (3, 64, 64)
+
+
+@pytest.mark.slow
+def test_training_loss_decreases_on_synthetic(tmp_path):
+    """Train the CNN XPoint a few steps on SyntheticShapes single-image mode
+    and check the loss moves (integration test, CPU)."""
+    from xpoint_tpu.trainer import Trainer
+    config = {
+        'dataset': dict(SYNTH_CFG, type='SyntheticShapes', length=8),
+        'model': {'type': 'XPoint', 'multispectral': True,
+                  'descriptor_head': False,
+                  'homography_regression_head': {'check': False}},
+        'loss': {'type': 'XPointLoss', 'detector_loss': True,
+                 'descriptor_loss': False,
+                 'detector_loss_function': 'cross_entropy',
+                 'detector_handle_multiple_keypoints': 'soft_assignment'},
+        'training': {'batchsize': 4, 'learningrate': 1e-3, 'n_epochs': 2,
+                     'save_every_n_epoch': 1, 'use_writer': False},
+    }
+    trainer = Trainer(config, str(tmp_path / "run"), n_devices=2)
+    trainer.train(n_epochs=2, max_steps_per_epoch=2)
+    assert os.path.exists(tmp_path / "run" / "params.yaml")
+    assert os.path.exists(tmp_path / "run" / "latest.ckpt")
+    # resume path works
+    trainer2 = Trainer(config, str(tmp_path / "run"), n_devices=2)
+    epoch = trainer2.resume()
+    assert epoch == 2

@@ -1,0 +1,102 @@
+"""Model construction + forward-shape tests (reference smoke tests:
+XPoint.py:475-494, VMamba.py __main__)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xpoint_tpu.models import build_xpoint
+from xpoint_tpu.models.vssm import VSSM
+from xpoint_tpu.models.regnet import RegNet
+
+
+VMAMBA_MODEL_CFG = {
+    "type": "XPoint",
+    "multispectral": False,
+    "takes_pair": True,
+    "descriptor_size": 256,
+    "homography_regression_head": {"check": True, "type": "RegNet"},
+    "use_attention": {
+        "check": True, "type": "VMamba", "height": 256, "width": 256,
+        "model_parameters": {
+            "DATA": {"IMG_SIZE": 512},
+            "MODEL": {
+                "DROP_PATH_RATE": 0.2,
+                "VSSM": {
+                    "DEPTHS": [2, 2, 2, 2], "EMBED_DIM": 96,
+                    "MLP_RATIO": 4.0, "PATCHEMBED": "v2", "DOWNSAMPLE": "v3",
+                    "SSM_CONV": 3, "SSM_CONV_BIAS": False,
+                    "SSM_DT_RANK": "auto", "SSM_D_STATE": 1,
+                    "SSM_FORWARDTYPE": "v05_noz", "SSM_RATIO": 1.0,
+                },
+            },
+        },
+        "pretrained": {"check": True},
+    },
+}
+
+
+def test_vssm_output_shape():
+    model = VSSM(depths=(1, 1, 1, 1), embed_dim=32)
+    x = jnp.zeros((1, 64, 64, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 8, 8, 16)     # H/8, W/8, embed/2
+
+
+def test_cnn_xpoint_forward_shapes():
+    module, cfg = build_xpoint({"multispectral": True,
+                                "homography_regression_head": {"check": False}})
+    img = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 64, 96, 1)),
+                      dtype=jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), img,
+                            method=module.init_all)
+    out = module.apply(variables, img, "optical")
+    assert out["logits"].shape == (2, 8, 12, 65)
+    assert out["desc"].shape == (2, 8, 12, 256)
+    assert out["encoder_output"].shape == (2, 8, 12, 128)
+    # descriptors unit-norm
+    n = jnp.linalg.norm(out["desc"], axis=-1)
+    np.testing.assert_allclose(np.asarray(n), 1.0, atol=1e-5)
+
+
+def test_mixed_spectrum_routing_selects_per_sample():
+    module, _ = build_xpoint({"multispectral": True,
+                              "homography_regression_head": {"check": False}})
+    img = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 32, 32, 1)),
+                      dtype=jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), img,
+                            method=module.init_all)
+
+    out_o = module.apply(variables, img, "optical")
+    out_t = module.apply(variables, img, "thermal")
+    is_opt = jnp.array([True, False])
+    out_m = module.apply(variables, img, "mixed", is_opt)
+    np.testing.assert_allclose(np.asarray(out_m["logits"][0]),
+                               np.asarray(out_o["logits"][0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_m["logits"][1]),
+                               np.asarray(out_t["logits"][1]), atol=1e-5)
+
+
+def test_vmamba_xpoint_pair_forward():
+    module, cfg = build_xpoint(VMAMBA_MODEL_CFG)
+    assert module.encoder_type == "vmamba"
+    assert module.n_channels[4] == 48
+    img = jnp.zeros((1, 64, 64, 1))
+    variables = module.init(jax.random.PRNGKey(0), img,
+                            method=module.init_all)
+    pred_o, pred_t, pred_hm = module.apply(
+        variables, img, img, method=module.forward_pair)
+    assert pred_o["logits"].shape == (1, 8, 8, 65)
+    assert pred_o["desc"].shape == (1, 8, 8, 256)
+    assert pred_o["encoder_output"].shape == (1, 8, 8, 48)
+    assert pred_hm.shape == (1, 8)
+
+
+def test_regnet_shapes():
+    m = RegNet()
+    x = jnp.zeros((2, 32, 32, 48))
+    params = m.init(jax.random.PRNGKey(0), x, x)
+    y = m.apply(params, x, x)
+    assert y.shape == (2, 8)

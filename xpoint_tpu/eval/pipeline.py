@@ -1,0 +1,65 @@
+"""Fused inference pipeline: the BASELINE.json north-star program.
+
+One jit-compiled XLA program per image pair covering
+    forward(optical) + forward(thermal) -> cell softmax + PixelShuffle ->
+    box-NMS -> top-k keypoints -> descriptor bilinear sampling -> MNN match.
+The reference runs this as separate GPU kernels with host round-trips
+(predict_align_image_pair.py:177-210, benchmark_evaluation.py:16-134);
+here the whole detect+describe+match chain stays on device.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.detector import prob_from_logits
+from ..ops.nms import box_nms, extract_keypoints
+from ..ops.descriptor import interpolate_descriptors
+from ..ops.matching import mnn_match
+
+
+def make_pair_pipeline(module, image_shape, k=1024, nms_size=8,
+                       detection_threshold=0.015, iou=0.1,
+                       match_threshold=None, cross_check=True,
+                       max_candidates=4096, ratio=8):
+    """Returns jitted fn(variables, img_o, img_t) -> dict of device arrays.
+
+    Images: (B, H, W, 1). All outputs fixed-size with validity masks.
+    """
+    H, W = image_shape
+
+    @jax.jit
+    def run(variables, img_o, img_t):
+        pred_o = module.apply(variables, img_o, "optical")
+        pred_t = module.apply(variables, img_t, "thermal")
+
+        prob_o = prob_from_logits(pred_o["logits"], ratio)     # (B, H, W)
+        prob_t = prob_from_logits(pred_t["logits"], ratio)
+
+        nms = partial(box_nms, size=nms_size, min_prob=detection_threshold,
+                      iou=iou, max_candidates=max_candidates)
+        nms_o = jax.vmap(lambda p: nms(p))(prob_o)
+        nms_t = jax.vmap(lambda p: nms(p))(prob_t)
+
+        ext = partial(extract_keypoints, k=k, min_prob=detection_threshold)
+        kps_o, sc_o, m_o = jax.vmap(lambda p: ext(p))(nms_o)
+        kps_t, sc_t, m_t = jax.vmap(lambda p: ext(p))(nms_t)
+
+        interp = partial(interpolate_descriptors, image_shape=(H, W))
+        d_o = jax.vmap(interp)(kps_o.astype(jnp.float32), pred_o["desc"])
+        d_t = jax.vmap(interp)(kps_t.astype(jnp.float32), pred_t["desc"])
+
+        match = partial(mnn_match, threshold=match_threshold,
+                        cross_check=cross_check)
+        idx2, dist, matched = jax.vmap(match)(d_o, d_t, m_o, m_t)
+
+        return {
+            "prob_optical": nms_o, "prob_thermal": nms_t,
+            "keypoints_optical": kps_o, "keypoints_thermal": kps_t,
+            "scores_optical": sc_o, "scores_thermal": sc_t,
+            "mask_optical": m_o, "mask_thermal": m_t,
+            "desc_optical": d_o, "desc_thermal": d_t,
+            "match_idx": idx2, "match_dist": dist, "matched": matched,
+        }
+
+    return run

@@ -47,6 +47,10 @@ def sample_homography(image_shape, perspective=True, scaling=True, rotation=True
     """
     rng = np.random.default_rng() if rng is None else rng
 
+    def _uniform(lo, hi):
+        # legacy np.random.uniform tolerates hi < lo; Generator does not
+        return rng.uniform(min(lo, hi), max(lo, hi))
+
     def transform_perspective(points):
         t_min, t_max = -points.min(axis=0), 1.0 - points.max(axis=0)
         t_max[1] = min(abs(t_min[1]), abs(t_max[1]))
@@ -58,9 +62,9 @@ def sample_homography(image_shape, perspective=True, scaling=True, rotation=True
             amp_min = np.array([-perspective_amplitude_x, -perspective_amplitude_y])
             amp_max = np.array([perspective_amplitude_x, perspective_amplitude_y])
 
-        persp_disp = rng.uniform(amp_min[1], amp_max[1])
-        h_left = rng.uniform(amp_min[0], amp_max[0])
-        h_right = rng.uniform(amp_min[0], amp_max[0])
+        persp_disp = _uniform(amp_min[1], amp_max[1])
+        h_left = _uniform(amp_min[0], amp_max[0])
+        h_right = _uniform(amp_min[0], amp_max[0])
         return points + np.array([[h_left, persp_disp],
                                   [h_left, -persp_disp],
                                   [h_right, persp_disp],
@@ -84,8 +88,8 @@ def sample_homography(image_shape, perspective=True, scaling=True, rotation=True
         if allow_artifacts:
             t_min = t_min - translation_overflow
             t_max = t_max + translation_overflow
-        return points + np.array([rng.uniform(t_min[0], t_max[0]),
-                                  rng.uniform(t_min[1], t_max[1])])
+        return points + np.array([_uniform(t_min[0], t_max[0]),
+                                  _uniform(t_min[1], t_max[1])])
 
     def transform_rotation(points):
         angles = rng.uniform(-max_angle, max_angle, n_angles)

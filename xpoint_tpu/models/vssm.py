@@ -1,0 +1,271 @@
+"""VSSM (VMamba) visual state-space encoder in flax.linen, NHWC.
+
+TPU-first re-design of the reference VMamba encoder
+(/root/reference/xpoint/models/vmamba_src/VMamba.py):
+  * channel-last everywhere (LayerNorm over the trailing dim is the native
+    TPU layout; the reference's channel_first=False path maps 1:1),
+  * the SS2D selective scan runs through ops/selective_scan (associative
+    scan or Pallas chunked kernel) instead of the CUDA kernel,
+  * cross-scan/merge are pure layout transforms fused by XLA.
+
+Structure parity (for checkpoint conversion):
+  patch_embed v2   VMamba.py:1406-1420  conv k3 s2 p1 -> LN -> GELU -> conv -> LN
+  downsample v3    VMamba.py:1433-1440  conv k3 s2 p1 -> LN
+  VSSBlock         VMamba.py:1153-1240  x + DropPath(SS2D(LN(x))); + MLP branch
+  SS2D v05_noz     VMamba.py:380-664    in_proj -> dwconv3x3 -> SiLU ->
+                                        cross-scan -> x/dt proj -> scan ->
+                                        cross-merge -> LN -> out_proj
+  mamba_init       VMamba.py:165-232    S4D-real A_log, D=1, softplus-inv dt bias
+  VSSM.forward     VMamba.py:1507-1525  gray->3ch, stages, depth_to_space(4)
+
+Production config (model_weights/XPoint-EXP1/params.yaml:108-130):
+depths [2,2,2,2], embed 96, d_state 1, ssm_ratio 1.0, dt_rank auto(=6),
+mlp_ratio 4, forward_type v05_noz, patchembed v2, downsample v3.
+"""
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.cross_scan import cross_scan, cross_merge
+from ..ops.selective_scan import selective_scan
+from ..ops.gridops import depth_to_space
+
+
+def _trunc_normal(std=0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference: timm DropPath)."""
+    rate: float = 0.0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=_trunc_normal())(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype,
+                     kernel_init=_trunc_normal())(x)
+        return x
+
+
+def _dt_bias_init(dt_min=0.001, dt_max=0.1, dt_init_floor=1e-4):
+    """Softplus-inverse of log-uniform dt — mamba_init.dt_init (VMamba.py:167-191)."""
+    def init(key, shape, dtype=jnp.float32):
+        dt = jnp.exp(jax.random.uniform(key, shape, jnp.float32)
+                     * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.clip(dt, min=dt_init_floor)
+        return (dt + jnp.log(-jnp.expm1(-dt))).astype(dtype)
+    return init
+
+
+def _a_log_init(key, shape, dtype=jnp.float32):
+    """S4D-real A initialization — mamba_init.A_log_init (VMamba.py:194-204).
+    shape: (K*D, N); A = 1..N per channel."""
+    del key
+    n = shape[-1]
+    a = jnp.arange(1, n + 1, dtype=jnp.float32)
+    return jnp.broadcast_to(jnp.log(a), shape).astype(dtype)
+
+
+class SS2D(nn.Module):
+    """2D selective scan block, forward-type v05_noz / v05 semantics."""
+    d_model: int
+    d_state: int = 1
+    ssm_ratio: float = 1.0
+    dt_rank: Any = "auto"
+    d_conv: int = 3
+    conv_bias: bool = False
+    disable_z: bool = True          # _noz: no gate branch
+    dtype: Any = jnp.float32
+    scan_backend: str = "assoc"
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        K = 4
+        D = int(self.ssm_ratio * self.d_model)
+        N = self.d_state
+        R = int(math.ceil(self.d_model / 16)) if self.dt_rank == "auto" else self.dt_rank
+        L = H * W
+
+        d_proj = D if self.disable_z else 2 * D
+        xz = nn.Dense(d_proj, use_bias=False, dtype=self.dtype,
+                      kernel_init=_trunc_normal(), name="in_proj")(x)
+        if self.disable_z:
+            xs, z = xz, None
+        else:
+            xs, z = jnp.split(xz, 2, axis=-1)
+            z = nn.silu(z)
+
+        if self.d_conv > 1:
+            xs = nn.Conv(D, (self.d_conv, self.d_conv),
+                         feature_group_count=D, use_bias=self.conv_bias,
+                         padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                         name="conv2d")(xs)
+        xs = nn.silu(xs)
+
+        # ---- core: cross-scan -> projections -> selective scan -> merge ----
+        xk = cross_scan(xs)                                       # (B, K, L, D)
+
+        x_proj_w = self.param("x_proj_weight", _trunc_normal(),
+                              (K, R + 2 * N, D), jnp.float32)
+        dt_w = self.param("dt_projs_weight",
+                          nn.initializers.uniform(scale=2 * R ** -0.5),
+                          (K, D, R), jnp.float32)
+        # uniform(scale) is [0, s); shift to [-s/2, s/2) = +-R^-0.5 like the ref
+        dt_w_c = dt_w - R ** -0.5
+        dt_bias = self.param("dt_projs_bias", _dt_bias_init(), (K, D), jnp.float32)
+        A_logs = self.param("A_logs", _a_log_init, (K * D, N), jnp.float32)
+        Ds = self.param("Ds", nn.initializers.ones, (K * D,), jnp.float32)
+
+        x_dbl = jnp.einsum("bkld,kcd->bklc", xk, x_proj_w.astype(xk.dtype))
+        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w_c.astype(dts.dtype))
+
+        # reshape to the canonical scan layout (B, K*D, L)
+        u = xk.transpose(0, 1, 3, 2).reshape(B, K * D, L)
+        dt = dts.transpose(0, 1, 3, 2).reshape(B, K * D, L)
+        Bmat = Bs.transpose(0, 1, 3, 2)                            # (B, K, N, L)
+        Cmat = Cs.transpose(0, 1, 3, 2)
+        ys = selective_scan(u, dt, -jnp.exp(A_logs), Bmat, Cmat, Ds,
+                            dt_bias.reshape(-1), True, backend=self.scan_backend)
+        ys = ys.reshape(B, K, D, L).transpose(0, 1, 3, 2)          # (B, K, L, D)
+        y = cross_merge(ys, H, W)                                  # (B, H, W, D)
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="out_norm")(y)
+        y = y.astype(x.dtype)
+        if z is not None:
+            y = y * z
+        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                        kernel_init=_trunc_normal(), name="out_proj")(y)
+
+
+class VSSBlock(nn.Module):
+    dim: int
+    drop_path: float = 0.0
+    d_state: int = 1
+    ssm_ratio: float = 1.0
+    dt_rank: Any = "auto"
+    ssm_conv: int = 3
+    ssm_conv_bias: bool = False
+    mlp_ratio: float = 4.0
+    disable_z: bool = True
+    dtype: Any = jnp.float32
+    scan_backend: str = "assoc"
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(x.dtype)
+        y = SS2D(self.dim, self.d_state, self.ssm_ratio, self.dt_rank,
+                 self.ssm_conv, self.ssm_conv_bias, self.disable_z,
+                 self.dtype, self.scan_backend, name="op")(y)
+        x = x + DropPath(self.drop_path, deterministic)(y)
+        if self.mlp_ratio > 0:
+            y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
+            y = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                    self.dtype, name="mlp")(y)
+            x = x + DropPath(self.drop_path, deterministic)(y)
+        return x
+
+
+class VSSM(nn.Module):
+    """4-stage VMamba encoder; output (B, H/8, W/8, embed_dim/2)."""
+    depths: Sequence[int] = (2, 2, 2, 2)
+    embed_dim: int = 96
+    d_state: int = 1
+    ssm_ratio: float = 1.0
+    dt_rank: Any = "auto"
+    ssm_conv: int = 3
+    ssm_conv_bias: bool = False
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.2
+    disable_z: bool = True
+    patch_size: int = 4
+    in_chans: int = 3
+    dtype: Any = jnp.float32
+    scan_backend: str = "assoc"
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        # grayscale -> 3 channels by replication (VMamba.py:1509-1510)
+        if self.in_chans == 3 and x.shape[-1] == 1:
+            x = jnp.concatenate([x, x, x], axis=-1)
+        x = x.astype(self.dtype)
+
+        import numpy as np
+        dims = [int(self.embed_dim * 2 ** i) for i in range(len(self.depths))]
+        dpr = [float(v) for v in
+               np.linspace(0, self.drop_path_rate, sum(self.depths))]
+
+        # patch embed v2: two stride-2 convs with explicit torch-style padding
+        x = nn.Conv(self.embed_dim // 2, (3, 3), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="patch_embed_conv1")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="patch_embed_norm1")(x).astype(self.dtype)
+        x = nn.gelu(x)
+        x = nn.Conv(self.embed_dim, (3, 3), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="patch_embed_conv2")(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="patch_embed_norm2")(x).astype(self.dtype)
+
+        block_idx = 0
+        for i_layer, depth in enumerate(self.depths):
+            for d in range(depth):
+                x = VSSBlock(dims[i_layer], dpr[block_idx], self.d_state,
+                             self.ssm_ratio, self.dt_rank, self.ssm_conv,
+                             self.ssm_conv_bias, self.mlp_ratio,
+                             self.disable_z, self.dtype, self.scan_backend,
+                             name=f"layers_{i_layer}_blocks_{d}")(x, deterministic)
+                block_idx += 1
+            if i_layer < len(self.depths) - 1:
+                # downsample v3
+                x = nn.Conv(dims[i_layer + 1], (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                            name=f"layers_{i_layer}_downsample_conv")(x)
+                x = nn.LayerNorm(dtype=jnp.float32,
+                                 name=f"layers_{i_layer}_downsample_norm")(x).astype(self.dtype)
+
+        # final depth_to_space(4): H/32 x W/32 x 8E -> H/8 x W/8 x E/2
+        return depth_to_space(x, 4)
+
+
+def build_vssm_from_config(vssm_cfg, dtype=jnp.float32, scan_backend="assoc"):
+    """Construct a VSSM from the reference MODEL.VSSM yacs-style dict
+    (params.yaml model_parameters; MYCONFIG.py:74-97)."""
+    get = lambda k, d: vssm_cfg.get(k, d)
+    dt_rank = get("SSM_DT_RANK", "auto")
+    return VSSM(
+        depths=tuple(get("DEPTHS", [2, 2, 2, 2])),
+        embed_dim=int(get("EMBED_DIM", 96)),
+        d_state=int(get("SSM_D_STATE", 1)),
+        ssm_ratio=float(get("SSM_RATIO", 1.0)),
+        dt_rank=dt_rank if dt_rank == "auto" else int(dt_rank),
+        ssm_conv=int(get("SSM_CONV", 3)),
+        ssm_conv_bias=bool(get("SSM_CONV_BIAS", False)),
+        mlp_ratio=float(get("MLP_RATIO", 4.0)),
+        drop_path_rate=float(get("DROP_PATH_RATE", 0.2)),
+        disable_z="noz" in str(get("SSM_FORWARDTYPE", "v05_noz")),
+        dtype=dtype,
+        scan_backend=scan_backend,
+    )

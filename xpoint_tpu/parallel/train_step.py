@@ -1,0 +1,79 @@
+"""jit-compiled training step (forward pair + loss + grads + optimizer),
+batch-sharded data parallel under GSPMD.
+
+Replaces the reference train loop body (train.py:211-244: autocast forward,
+XPointLoss, GradScaler backward, Adam step). On TPU the whole step is one
+XLA program: bf16 activations replace AMP, gradients all-reduce over ICI
+automatically because parameters are replicated and the batch is sharded.
+"""
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_train_step(module, loss_fn, takes_pair=True, donate=True):
+    """Build the jitted train step.
+
+    Batch layout (takes_pair):
+        batch['optical'|'thermal']: image (B,H,W,1), keypoints (B,H,W),
+        valid_mask (B,H,W), homography (B,3,3); optional batch['hfour_points'].
+    """
+
+    def step_fn(state, batch, rng):
+        rng_model, rng_loss = jax.random.split(rng)
+
+        def compute_loss(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            rngs = {"droppath": rng_model, "dropout": rng_model}
+            if takes_pair:
+                (pred_o, pred_t, pred_hm), mut = module.apply(
+                    variables, batch["optical"]["image"],
+                    batch["thermal"]["image"], True,
+                    method=module.forward_pair, mutable=mutable, rngs=rngs)
+                loss, comps = loss_fn(batch, pred_o, pred_t, pred_hm, rng_loss)
+            else:
+                pred, mut = module.apply(
+                    variables, batch["image"], "mixed",
+                    batch["is_optical"].reshape(-1), True,
+                    mutable=mutable, rngs=rngs)
+                loss, comps = loss_fn(batch, pred, None, None, rng_loss)
+            new_stats = mut.get("batch_stats") if mutable else None
+            return loss, (comps, new_stats)
+
+        (loss, (comps, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        state = state.apply_gradients(grads)
+        if new_stats is not None:
+            state = state.replace(batch_stats=new_stats)
+        comps["loss"] = loss
+        return state, comps
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

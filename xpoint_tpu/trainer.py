@@ -1,0 +1,168 @@
+"""Training orchestration: dataset -> jit train step -> checkpoints/logging.
+
+Parity with reference train.py:
+  * YAML-driven (dataset/model/loss/training sections), params.yaml dumped
+    to the output dir (:40-42) and reread by every eval CLI,
+  * Adam + optional StepLR/ExponentialLR schedulers (:180-192),
+  * checkpoints every save_every_n_epoch as e{N} plus latest (:308-327),
+    resume epoch parsed from the checkpoint name (:70-74),
+  * TensorBoard batch/epoch scalars (:259-306).
+
+TPU re-design: the whole step (pair forward, loss, grads, Adam) is one jit
+program, batch-sharded over the device mesh; bf16 activations replace AMP;
+BatchNorm stats are global across shards by construction.
+"""
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import save_yaml
+from .data import get_dataset, DataLoader
+from .losses import XPointLoss
+from .models import build_xpoint
+from .parallel import (make_mesh, shard_batch, replicate, make_train_step,
+                       TrainState)
+from . import checkpoints as ckpt
+
+
+def make_optimizer(training_cfg):
+    lr = float(training_cfg.get('learningrate', 1e-4))
+    sched_cfg = training_cfg.get('scheduler', {}) or {}
+    schedule = lr
+    if sched_cfg.get('use_scheduler'):
+        stype = sched_cfg.get('type', 'ExponentialLR')
+        gamma = float(sched_cfg.get('gamma', 0.9))
+        step_size = int(sched_cfg.get('step_size', 1))
+        if stype == 'StepLR':
+            schedule = optax.exponential_decay(lr, step_size, gamma,
+                                               staircase=True)
+        elif stype == 'ExponentialLR':
+            schedule = optax.exponential_decay(lr, 1, gamma, staircase=True)
+        else:
+            raise ValueError(f"unknown scheduler {stype}")
+    wd = float(training_cfg.get('weight_decay', 0) or 0)
+    if wd > 0:
+        return optax.adamw(schedule, weight_decay=wd), schedule
+    return optax.adam(schedule), schedule
+
+
+def batch_to_device_pair(batch):
+    """Convert a collated pair batch to the loss/model layout."""
+    def side(d):
+        out = {'image': np.asarray(d['image'], np.float32),
+               'valid_mask': np.asarray(d['valid_mask'], np.float32),
+               'homography': np.asarray(d['homography'], np.float32)}
+        if 'keypoints' in d:
+            out['keypoints'] = np.asarray(d['keypoints'], np.float32)
+        return out
+    out = {'optical': side(batch['optical']), 'thermal': side(batch['thermal'])}
+    if 'hfour_points' in batch:
+        out['hfour_points'] = np.asarray(batch['hfour_points'], np.float32)
+    return out
+
+
+def batch_to_device_single(batch):
+    out = {'image': np.asarray(batch['image'], np.float32),
+           'valid_mask': np.asarray(batch['valid_mask'], np.float32),
+           'is_optical': np.asarray(batch['is_optical'], bool)}
+    if 'keypoints' in batch:
+        out['keypoints'] = np.asarray(batch['keypoints'], np.float32)
+    return out
+
+
+class Trainer:
+    def __init__(self, config, output_dir, n_devices=None, seed=0):
+        self.config = config
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        save_yaml(config, os.path.join(output_dir, 'params.yaml'))
+
+        self.dataset = get_dataset(config['dataset'])
+        tcfg = config.get('training', {})
+        self.batch_size = int(tcfg.get('batchsize', 1))
+        self.loader = DataLoader(self.dataset, self.batch_size, shuffle=True,
+                                 seed=seed)
+        self.takes_pair = self.dataset.returns_pair()
+
+        self.module, self.model_cfg = build_xpoint(config['model'])
+
+        loss_cfg = dict(config.get('loss', {}))
+        loss_cfg['space_to_depth_ratio'] = self.module.encoder_downsample_ratio
+        self.loss_fn = XPointLoss(loss_cfg)
+
+        self.mesh = make_mesh(n_devices)
+        self.tx, self.schedule = make_optimizer(tcfg)
+        self.rng = jax.random.PRNGKey(seed)
+
+        # init params with a sample batch shape
+        sample = self.dataset[0]
+        img = (sample['optical']['image'] if self.takes_pair
+               else sample['image'])[None]
+        variables = self.module.init(jax.random.PRNGKey(seed),
+                                     jnp.asarray(img), method=self.module.init_all)
+        self.state = TrainState.create(variables['params'],
+                                       variables.get('batch_stats'), self.tx)
+        self.start_epoch = 0
+
+        self.train_step = make_train_step(self.module, self.loss_fn,
+                                          takes_pair=self.takes_pair)
+
+        self.writer = None
+        if tcfg.get('use_writer'):
+            try:
+                from tensorboardX import SummaryWriter
+                self.writer = SummaryWriter(os.path.join(output_dir, 'tb'))
+            except ImportError:
+                pass
+
+    def resume(self, name='latest'):
+        restored, epoch = ckpt.restore(self.output_dir, self.state, name)
+        if restored is not None:
+            self.state = restored
+            self.start_epoch = epoch
+        return self.start_epoch
+
+    def train(self, n_epochs=None, max_steps_per_epoch=None, log_every=10):
+        tcfg = self.config.get('training', {})
+        n_epochs = n_epochs or int(tcfg.get('n_epochs', 1))
+        save_every = int(tcfg.get('save_every_n_epoch', 0) or 0)
+
+        self.state = replicate(self.state, self.mesh)
+        step = 0
+        for epoch in range(self.start_epoch, n_epochs):
+            epoch_losses = []
+            t_epoch = time.time()
+            for i, batch in enumerate(self.loader):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                dev_batch = (batch_to_device_pair(batch) if self.takes_pair
+                             else batch_to_device_single(batch))
+                dev_batch = shard_batch(dev_batch, self.mesh)
+                self.rng, step_rng = jax.random.split(self.rng)
+                with self.mesh:
+                    self.state, comps = self.train_step(self.state, dev_batch,
+                                                        step_rng)
+                loss = float(comps['loss'])
+                epoch_losses.append(loss)
+                if self.writer and step % log_every == 0:
+                    self.writer.add_scalar('batch/loss', loss, step)
+                    for k, v in comps.items():
+                        if k != 'loss':
+                            self.writer.add_scalar(f'batch/{k}', float(v), step)
+                step += 1
+
+            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float('nan')
+            if self.writer:
+                self.writer.add_scalar('epoch/train_loss', mean_loss, epoch)
+            print(f"epoch {epoch}: loss {mean_loss:.4f} "
+                  f"({time.time()-t_epoch:.1f}s)", flush=True)
+
+            if save_every and (epoch + 1) % save_every == 0:
+                ckpt.save(self.output_dir, self.state, f'e{epoch + 1}',
+                          epoch + 1)
+        ckpt.save(self.output_dir, self.state, 'latest', n_epochs)
+        return self.state
