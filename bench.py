@@ -28,9 +28,9 @@ def main():
 
     t0 = time.time()
     # params are resolution-independent: init on a small image for speed
-    variables = module.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 64, 64, 1), jnp.float32),
-                            method=module.init_all)
+    variables = jax.jit(lambda r: module.init(
+        r, jnp.zeros((1, 64, 64, 1), jnp.float32),
+        method=module.init_all))(jax.random.PRNGKey(0))
     print(f"# init: {time.time()-t0:.1f}s", flush=True)
 
     pipeline = make_pair_pipeline(module, (H, W), k=1024, nms_size=8,
@@ -41,13 +41,22 @@ def main():
     jax.block_until_ready(out)
     print(f"# compile+first run: {time.time()-t0:.1f}s", flush=True)
 
-    # steady state
-    n_iters = 10
-    t0 = time.time()
-    for _ in range(n_iters):
-        out = pipeline(variables, img_o, img_t)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / n_iters
+    # steady state: distinct inputs each iteration, block every iteration
+    # (device-identical replays can be elided by the runtime)
+    inputs = [(jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32)),
+               jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32)))
+              for _ in range(4)]
+    for a, b in inputs:                       # warm transfer
+        jax.block_until_ready(pipeline(variables, a, b))
+    n_iters = 12
+    times = []
+    for i in range(n_iters):
+        a, b = inputs[i % len(inputs)]
+        t0 = time.time()
+        out = pipeline(variables, a, b)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
     pairs_per_sec = B / dt
     print(f"# steady-state: {dt*1000:.1f} ms/batch of {B} pairs "
           f"({int(out['matched'].sum())} matches)", flush=True)

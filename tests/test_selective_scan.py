@@ -137,3 +137,30 @@ def test_cross_scan_merge_roundtrip_counts():
     x = jnp.asarray(rng.normal(size=(1, 4, 6, 2)).astype(np.float32))
     merged = cross_merge(cross_scan(x), 4, 6)
     np.testing.assert_allclose(np.asarray(merged), np.asarray(4 * x), atol=1e-5)
+
+
+@pytest.mark.parametrize("L,N", [(64, 1), (333, 4), (1024, 1)])
+def test_pallas_backend_matches_oracle(L, N):
+    rng = np.random.default_rng(21)
+    args = make_params(rng, N=N, L=L)
+    ref = torch_oracle(*args)
+    out = selective_scan(*[jnp.asarray(a) for a in args], backend="pallas")
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
+
+
+def test_pallas_gradients_match_ref():
+    from xpoint_tpu.ops.selective_scan import selective_scan_ref
+    from xpoint_tpu.ops.selective_scan_pallas import selective_scan_pallas
+    rng = np.random.default_rng(22)
+    args = [jnp.asarray(a) for a in make_params(rng, Batch=1, Cdim=2, N=2, L=96)]
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a, True) ** 2)
+
+    g_ref = jax.grad(lambda *a: loss(selective_scan_ref, *a),
+                     argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(lambda *a: loss(selective_scan_pallas, *a),
+                     argnums=tuple(range(7)))(*args)
+    for gr, gp in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=2e-3, rtol=1e-2)

@@ -1,0 +1,129 @@
+"""Inference wrapper used by the evaluation loops and CLIs.
+
+Bridges the static-shape device world and the dynamic-count metric world:
+heatmaps/descriptor maps are computed in one jit program; keypoint
+extraction for metrics happens host-side with exact reference semantics
+(torch.nonzero -> np.argwhere), then descriptors are sampled on device at
+padded fixed-size keypoint sets.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.detector import prob_from_logits
+from ..ops.nms import box_nms
+from ..ops.descriptor import interpolate_descriptors
+from ..ops.matching import mnn_match, matches_to_list
+
+
+class XPointInference:
+    def __init__(self, module, variables, prediction_config=None, max_kp=2048):
+        self.module = module
+        self.variables = variables
+        self.cfg = dict({'nms': 8, 'detection_threshold': 0.015, 'topk': 0,
+                         'cpu_nms': False}, **(prediction_config or {}))
+        self.max_kp = max_kp
+        self.ratio = module.encoder_downsample_ratio
+
+        @jax.jit
+        def _forward_pair(variables, img_o, img_t):
+            pred_o, pred_t, pred_hm = module.apply(
+                variables, img_o, img_t, method=module.forward_pair)
+            return (prob_from_logits(pred_o['logits'], self.ratio),
+                    prob_from_logits(pred_t['logits'], self.ratio),
+                    pred_o['desc'], pred_t['desc'], pred_hm)
+        self._forward_pair = _forward_pair
+
+        @jax.jit
+        def _forward_single(variables, img, is_optical):
+            pred = module.apply(variables, img, "mixed", is_optical)
+            return (prob_from_logits(pred['logits'], self.ratio), pred['desc'])
+        self._forward_single = _forward_single
+
+        nms_size = self.cfg['nms']
+        thr = float(self.cfg['detection_threshold'])
+        topk = int(self.cfg.get('topk') or 0)
+
+        @jax.jit
+        def _nms(prob):
+            if nms_size > 0:
+                return jax.vmap(lambda p: box_nms(p, nms_size, thr,
+                                                  keep_top_k=topk))(prob)
+            return prob
+        self._nms = _nms
+
+        @partial(jax.jit, static_argnames=("image_shape",))
+        def _interp(kps, mask, desc_map, image_shape):
+            d = interpolate_descriptors(kps, desc_map, image_shape)
+            return d * mask[:, None]
+        self._interp = _interp
+
+        @jax.jit
+        def _match(d1, d2, m1, m2):
+            return mnn_match(d1, d2, m1, m2, cross_check=True)
+        self._match = _match
+
+    def takes_pair(self):
+        return True
+
+    # ---- heatmaps ----
+    def forward_pair(self, img_o, img_t):
+        """images (B, H, W, 1) numpy -> numpy (prob_o, prob_t, desc_o,
+        desc_t, pred_hm)."""
+        out = self._forward_pair(self.variables, jnp.asarray(img_o),
+                                 jnp.asarray(img_t))
+        return [None if o is None else np.asarray(o) for o in out]
+
+    def forward_single(self, img, is_optical):
+        out = self._forward_single(self.variables, jnp.asarray(img),
+                                   jnp.asarray(is_optical).reshape(-1))
+        return [np.asarray(o) for o in out]
+
+    def nms(self, prob):
+        return np.asarray(self._nms(jnp.asarray(prob)))
+
+    # ---- dynamic-count helpers (host <-> padded device) ----
+    def keypoints_from_prob(self, prob_nms, valid_mask=None):
+        """Host threshold + nonzero, exact reference semantics
+        (evaluation.py:160-161, 281-282)."""
+        p = prob_nms
+        if valid_mask is not None:
+            p = p * valid_mask
+        return np.argwhere(p > float(self.cfg['detection_threshold']))
+
+    def descriptors_at(self, keypoints, desc_map, image_shape):
+        """Sample L2-normed descriptors at (n, 2) host keypoints."""
+        n = len(keypoints)
+        k = self.max_kp
+        if n > k:
+            keypoints = keypoints[:k]
+            n = k
+        kps = np.zeros((k, 2), np.float32)
+        kps[:n] = keypoints
+        mask = np.zeros((k,), bool)
+        mask[:n] = True
+        d = self._interp(jnp.asarray(kps), jnp.asarray(mask),
+                         jnp.asarray(desc_map), tuple(image_shape))
+        return np.asarray(d)[:n]
+
+    def match(self, desc1, desc2):
+        """Cross-checked MNN matches as (query, train, distance) tuples —
+        cv2.BFMatcher(NORM_L2, crossCheck=True) equivalence."""
+        n1, n2 = len(desc1), len(desc2)
+        if n1 == 0 or n2 == 0:
+            return []
+        D = desc1.shape[1]
+        k = self.max_kp
+        d1 = np.zeros((k, D), np.float32)
+        d2 = np.zeros((k, D), np.float32)
+        d1[:n1] = desc1
+        d2[:n2] = desc2
+        m1 = np.zeros((k,), bool)
+        m2 = np.zeros((k,), bool)
+        m1[:n1] = True
+        m2[:n2] = True
+        idx2, dist, matched = self._match(jnp.asarray(d1), jnp.asarray(d2),
+                                          jnp.asarray(m1), jnp.asarray(m2))
+        return matches_to_list(idx2, dist, matched)

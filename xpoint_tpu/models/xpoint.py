@@ -187,11 +187,16 @@ class XPointNet(nn.Module):
         return pred_o, pred_t, pred_hm
 
 
-def build_xpoint(config=None, dtype=None, scan_backend="assoc"):
+def build_xpoint(config=None, dtype=None, scan_backend=None):
     """Build an XPointNet from the reference YAML `model:` config dict.
 
-    Returns (module, merged_config).
+    Returns (module, merged_config). scan_backend defaults to the Pallas
+    kernel on TPU and the associative scan elsewhere (the Pallas kernel
+    still runs on CPU via interpret mode, just slower).
     """
+    if scan_backend is None:
+        import jax
+        scan_backend = "pallas" if jax.default_backend() == "tpu" else "assoc"
     cfg = dict_update(copy.deepcopy(DEFAULT_CONFIG), config or {})
     n_channels, head_channels = _CHANNEL_VERSIONS.get(
         cfg['channel_version'], _CHANNEL_VERSIONS[0])

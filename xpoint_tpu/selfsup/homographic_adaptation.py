@@ -1,0 +1,259 @@
+"""Homographic adaptation: self-supervised pseudo-ground-truth keypoints.
+
+Parity target: reference xpoint/utils/homographies.py:40-300 —
+  * run the detector on the original optical/thermal pair, aggregate the two
+    probability maps (prod / sum / window),
+  * for each of num-1 random homographies: warp both images, re-run the
+    detector, un-warp the probabilities, accumulate count-weighted,
+  * prod -> sqrt, sum -> x0.5; zero out where count < min_count,
+  * 'window' mode cross-checks keypoints within a k x k window between the
+    two spectra (search_window, homographies.py:203-229).
+
+TPU re-design: homographies + valid masks are sampled on the host up front;
+the whole warp -> forward -> unwarp -> accumulate loop runs as ONE jitted
+lax.scan over the stacked homographies (the reference launches 2(num-1)
+separate forward passes with host round-trips per iteration,
+export_keypoints.py:162-256).
+"""
+import copy
+from functools import partial
+from math import pi
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import dict_update
+from ..geometry.homography import sample_homography, compute_valid_mask
+from ..ops.warp import warp_image_batch
+
+
+HA_DEFAULT_CONFIG = {
+    'num': 100,
+    'aggregation': 'prod',
+    'homographies': {
+        'translation': True, 'rotation': True, 'scaling': True,
+        'perspective': True, 'scaling_amplitude': 0.15,
+        'perspective_amplitude_x': 0.15, 'perspective_amplitude_y': 0.15,
+        'patch_ratio': 0.9, 'max_angle': pi, 'allow_artifacts': True,
+    },
+    'erosion_radius': 5,
+    'mask_border': True,
+    'min_count': 2,
+    'filter_size': 0,
+    'weighted_window': True,
+    'window_size': 5,
+}
+
+
+def search_window(prob1, prob2, window_size, weighted_window):
+    """Cross-spectral window check (homographies.py:203-229): keep (and
+    weight) each keypoint by the total probability mass of the OTHER
+    spectrum within a window_size x window_size neighborhood.
+
+    prob: (B, H, W). reduce_window == zero-pad + unfold + sum of the ref.
+    """
+    assert window_size % 2 == 1
+
+    def window_sum(p):
+        return jax.lax.reduce_window(
+            p, 0.0, jax.lax.add,
+            window_dimensions=(1, window_size, window_size),
+            window_strides=(1, 1, 1),
+            padding="SAME")
+
+    f1 = window_sum(prob2) * prob1
+    f2 = window_sum(prob1) * prob2
+    if not weighted_window:
+        f1 = (f1 > 0).astype(prob1.dtype)
+        f2 = (f2 > 0).astype(prob2.dtype)
+    return f1, f2
+
+
+def _gaussian_kernel(size, sigma=None):
+    if sigma is None:
+        sigma = 0.3 * ((size - 1) * 0.5 - 1) + 0.8
+    g = np.arange(size) - (size - 1) / 2.0
+    gx, gy = np.meshgrid(g, g)
+    k = np.exp(-(gx ** 2 + gy ** 2) / (2.0 * sigma ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _smooth(prob, size):
+    """Reflect-padded gaussian smoothing of (B, H, W) heatmaps
+    (utils.py:194-227 + ReflectionPad2d in homographies.py:75-78)."""
+    k = jnp.asarray(_gaussian_kernel(size))
+    pad = (size - 1) // 2
+    p = jnp.pad(prob, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        p[:, None], k[None, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+
+
+def sample_ha_homographies(config, image_shape, rng=None):
+    """Host-side: stack of (num-1) homographies + eroded valid masks."""
+    num = config['num']
+    Hs, masks = [], []
+    for _ in range(max(num - 1, 0)):
+        H = sample_homography(np.array(image_shape), rng=rng,
+                              **config['homographies'])
+        m = compute_valid_mask(tuple(image_shape), H,
+                               config['erosion_radius'], config['mask_border'])
+        Hs.append(H.astype(np.float32))
+        masks.append(m.astype(np.float32))
+    if not Hs:
+        return (np.zeros((0, 3, 3), np.float32),
+                np.zeros((0,) + tuple(image_shape), np.float32))
+    return np.stack(Hs), np.stack(masks)
+
+
+def make_ha_fn(prob_fn, config=None):
+    """Build the jitted multispectral HA program.
+
+    Args:
+        prob_fn: (image (B,H,W,1), is_optical: bool) -> prob (B,H,W).
+            Wraps the detector forward + cell softmax.
+        config: HA config dict (merged over HA_DEFAULT_CONFIG).
+
+    Returns fn(img_o, img_t, homographies (n,3,3), valid_masks (n,H,W))
+        -> dict with 'prob' (prod/sum modes) or 'prob_optical'/'prob_thermal'
+        (window mode), matching the reference output dict.
+    """
+    cfg = dict_update(copy.deepcopy(HA_DEFAULT_CONFIG), config or {})
+    if cfg['num'] < 1:
+        raise ValueError('num must be >= 1 for homographic adaptation')
+    if cfg['filter_size'] % 2 == 0 and cfg['filter_size'] != 0:
+        raise ValueError('filter_size must be odd')
+    if cfg['aggregation'] == 'window' and cfg['filter_size'] > 0:
+        raise ValueError('window aggregation requires filter_size == 0')
+
+    agg = cfg['aggregation']
+    fs = cfg['filter_size']
+
+    def maybe_smooth(p):
+        return _smooth(p, fs) if fs > 0 else p
+
+    @jax.jit
+    def run(img_o, img_t, homographies, valid_masks):
+        B = img_o.shape[0]
+        prob_o = maybe_smooth(prob_fn(img_o, True))
+        prob_t = maybe_smooth(prob_fn(img_t, False))
+        count = jnp.ones_like(prob_o)
+
+        if agg == 'prod':
+            acc = prob_o * prob_t
+            acc_o = acc_t = jnp.zeros_like(acc)
+        elif agg == 'sum':
+            acc = prob_o + prob_t
+            acc_o = acc_t = jnp.zeros_like(acc)
+        elif agg == 'window':
+            acc_o, acc_t = search_window(prob_o, prob_t, cfg['window_size'],
+                                         cfg['weighted_window'])
+            acc = jnp.zeros_like(acc_o)
+        else:
+            raise ValueError(f'unknown aggregation: {agg}')
+
+        def body(carry, inputs):
+            acc, acc_o, acc_t, count = carry
+            Hmat, vmask = inputs
+            Hb = jnp.broadcast_to(Hmat, (B, 3, 3))
+            wo = warp_image_batch(img_o, Hb, "bilinear", "reflection")
+            wt = warp_image_batch(img_t, Hb, "bilinear", "reflection")
+            po = maybe_smooth(prob_fn(wo, True))
+            pt = maybe_smooth(prob_fn(wt, False))
+
+            Hinv = jnp.linalg.inv(Hmat)
+            Hinv_b = jnp.broadcast_to(Hinv, (B, 3, 3))
+            count_sample = warp_image_batch(
+                jnp.broadcast_to(vmask[None, :, :, None], img_o.shape),
+                Hinv_b, "nearest", "zeros")[..., 0]
+            count = count + count_sample
+
+            if agg == 'window':
+                uo = warp_image_batch(po[..., None], Hinv_b,
+                                      "bilinear", "zeros")[..., 0]
+                ut = warp_image_batch(pt[..., None], Hinv_b,
+                                      "bilinear", "zeros")[..., 0]
+                fo, ft = search_window(uo, ut, cfg['window_size'],
+                                       cfg['weighted_window'])
+                acc_o = acc_o + fo * count_sample
+                acc_t = acc_t + ft * count_sample
+            else:
+                pw = po * pt if agg == 'prod' else po + pt
+                unwarped = warp_image_batch(pw[..., None], Hinv_b,
+                                            "bilinear", "zeros")[..., 0]
+                acc = acc + unwarped * count_sample
+            return (acc, acc_o, acc_t, count), None
+
+        (acc, acc_o, acc_t, count), _ = jax.lax.scan(
+            body, (acc, acc_o, acc_t, count), (homographies, valid_masks))
+
+        if agg == 'window':
+            out_o = acc_o / count
+            out_t = acc_t / count
+            if cfg['min_count'] > 0:
+                keep = count >= cfg['min_count']
+                out_o = jnp.where(keep, out_o, 0.0)
+                out_t = jnp.where(keep, out_t, 0.0)
+            return {'prob': None, 'prob_optical': out_o, 'prob_thermal': out_t}
+
+        out = acc / count
+        if agg == 'prod':
+            out = jnp.sqrt(out)
+        elif agg == 'sum':
+            out = out * 0.5
+        if cfg['min_count'] > 0:
+            out = jnp.where(count >= cfg['min_count'], out, 0.0)
+        return {'prob': out, 'prob_optical': None, 'prob_thermal': None}
+
+    return run, cfg
+
+
+def homographic_adaptation_multispectral(img_o, img_t, prob_fn, config=None,
+                                         rng=None):
+    """Convenience wrapper: sample homographies on host, run the jitted HA
+    program (reference homographic_adaptation_multispectral)."""
+    run, cfg = make_ha_fn(prob_fn, config)
+    Hs, masks = sample_ha_homographies(cfg, img_o.shape[1:3], rng)
+    return run(img_o, img_t, jnp.asarray(Hs), jnp.asarray(masks))
+
+
+def homographic_adaptation(img, prob_fn, config=None, rng=None):
+    """Single-spectrum variant (homographies.py:232-300): count-weighted
+    average of unwarped probabilities."""
+    cfg = dict_update(copy.deepcopy(HA_DEFAULT_CONFIG), config or {})
+    fs = cfg['filter_size']
+
+    def maybe_smooth(p):
+        return _smooth(p, fs) if fs > 0 else p
+
+    Hs, masks = sample_ha_homographies(cfg, img.shape[1:3], rng)
+    Hs, masks = jnp.asarray(Hs), jnp.asarray(masks)
+
+    @jax.jit
+    def run(img, Hs, masks):
+        B = img.shape[0]
+        prob = maybe_smooth(prob_fn(img, True))
+        count = jnp.ones_like(prob)
+
+        def body(carry, inputs):
+            prob, count = carry
+            Hmat, vmask = inputs
+            Hb = jnp.broadcast_to(Hmat, (B, 3, 3))
+            w = warp_image_batch(img, Hb, "bilinear", "reflection")
+            p = maybe_smooth(prob_fn(w, True))
+            Hinv_b = jnp.broadcast_to(jnp.linalg.inv(Hmat), (B, 3, 3))
+            count_sample = warp_image_batch(
+                jnp.broadcast_to(vmask[None, :, :, None], img.shape),
+                Hinv_b, "nearest", "zeros")[..., 0]
+            unwarped = warp_image_batch(p[..., None], Hinv_b,
+                                        "bilinear", "zeros")[..., 0]
+            return (prob + unwarped * count_sample, count + count_sample), None
+
+        (prob, count), _ = jax.lax.scan(body, (prob, count), (Hs, masks))
+        out = prob / count
+        if cfg['min_count'] > 0:
+            out = jnp.where(count >= cfg['min_count'], out, 0.0)
+        return out
+
+    return run(img, Hs, masks)

@@ -102,8 +102,9 @@ class Trainer:
         sample = self.dataset[0]
         img = (sample['optical']['image'] if self.takes_pair
                else sample['image'])[None]
-        variables = self.module.init(jax.random.PRNGKey(seed),
-                                     jnp.asarray(img), method=self.module.init_all)
+        variables = jax.jit(lambda r: self.module.init(
+            r, jnp.asarray(img), method=self.module.init_all))(
+                jax.random.PRNGKey(seed))
         self.state = TrainState.create(variables['params'],
                                        variables.get('batch_stats'), self.tx)
         self.start_epoch = 0
