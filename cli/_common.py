@@ -1,0 +1,39 @@
+"""Shared CLI plumbing: config merging, model+dataset construction, seeds."""
+import os
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def set_seeds(seed):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def load_eval_setup(args, single_image_override=None):
+    """Config + params.yaml merge + model + dataset (reference
+    benchmark.py:50-130 flow). Returns (config, module, variables, infer,
+    dataset)."""
+    from xpoint_tpu.config import load_yaml
+    from xpoint_tpu.model_io import load_model
+    from xpoint_tpu.data import get_dataset
+    from xpoint_tpu.eval.infer import XPointInference
+    from xpoint_tpu.utils import dict_update
+
+    config = load_yaml(args.yaml_config)
+    if getattr(args, "yaml_variable", None):
+        dict_update(config, load_yaml(args.yaml_variable))
+
+    module, variables, model_cfg = load_model(args.model_dir, args.version)
+    config["model"] = model_cfg
+
+    if single_image_override is not None:
+        config.setdefault("dataset", {})["single_image"] = single_image_override
+    dataset = get_dataset(config["dataset"]) if config.get("dataset", {}).get(
+        "filename") or config.get("dataset", {}).get("foldername") else None
+
+    infer = XPointInference(module, variables, config.get("prediction", {}))
+    return config, module, variables, infer, dataset

@@ -1,0 +1,62 @@
+"""Model loading for eval CLIs: rebuild the exact model from a trained
+model dir (params.yaml + checkpoint), the reference contract
+(benchmark.py:53-55,93-124).
+
+Checkpoint resolution order for <model_dir>/<version>:
+  1. <version>.ckpt       — orbax checkpoint written by this framework,
+  2. <version>.model      — reference torch checkpoint, converted on load,
+  3. version == 'none'    — fresh random init (parity with reference
+                            'none for no weights').
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import load_yaml
+from .models import build_xpoint
+
+
+def load_model(model_dir, version="latest", config=None, scan_backend=None):
+    """Returns (module, variables, merged_config)."""
+    params = load_yaml(os.path.join(model_dir, "params.yaml"))
+    model_cfg = params["model"]
+    if config is not None:
+        config = dict(config)
+        config["model"] = model_cfg
+
+    mtype = model_cfg.get("type", "XPoint")
+    if mtype != "XPoint":
+        raise ValueError(
+            f"load_model handles XPoint; use models.get_model for {mtype}")
+
+    module, merged_cfg = build_xpoint(model_cfg, scan_backend=scan_backend)
+
+    variables = jax.jit(lambda r: module.init(
+        r, jnp.zeros((1, 64, 64, 1), jnp.float32),
+        method=module.init_all))(jax.random.PRNGKey(0))
+
+    if version and version != "none":
+        ckpt_path = os.path.join(model_dir, f"{version}.ckpt")
+        torch_path = os.path.join(model_dir, f"{version}.model")
+        if os.path.exists(ckpt_path):
+            import orbax.checkpoint as ocp
+            template = {"params": jax.device_get(variables["params"]),
+                        "batch_stats": jax.device_get(
+                            variables.get("batch_stats", {})),
+                        "opt_state": None, "step": 0, "epoch": 0}
+            with ocp.PyTreeCheckpointer() as cp:
+                restored = cp.restore(os.path.abspath(ckpt_path))
+            variables = {"params": restored["params"]}
+            if restored.get("batch_stats"):
+                variables["batch_stats"] = restored["batch_stats"]
+        elif os.path.exists(torch_path):
+            from .compat import load_torch_checkpoint
+            variables = load_torch_checkpoint(torch_path, module, merged_cfg)
+        else:
+            raise FileNotFoundError(
+                f"no checkpoint {version}(.ckpt|.model) in {model_dir}")
+
+    variables = jax.tree.map(jnp.asarray, dict(variables))
+    return module, variables, merged_cfg

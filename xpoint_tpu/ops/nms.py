@@ -22,6 +22,16 @@ import jax.numpy as jnp
 def _greedy_nms_indices(ys, xs, scores, valid, size, iou):
     """Greedy NMS over candidates sorted by descending score.
 
+    Exact greedy semantics via fixed-point iteration instead of a K-step
+    sequential loop: with the suppression DAG restricted to higher-scoring
+    boxes (strict lower-triangular overlap matrix M), iterate
+        keep <- valid & ~(keep @ M)
+    from keep = valid. The fixed point is unique and equals the greedy
+    result (induction over score rank); convergence takes as many sweeps as
+    the longest suppression chain (typically < 10), each sweep one K x K
+    matvec on the MXU — thousands of times fewer sequential steps than the
+    torchvision-style loop the reference uses (utils.py:148-192).
+
     Args: all (K,) arrays, already sorted by descending score.
     Returns keep mask (K,) bool.
     """
@@ -32,15 +42,28 @@ def _greedy_nms_indices(ys, xs, scores, valid, size, iou):
     dx = jnp.abs(xs[:, None] - xs[None, :])
     inter = jnp.maximum(s - dy, 0.0) * jnp.maximum(s - dx, 0.0)
     iou_mat = inter / (2.0 * s * s - inter)
-    overlap = iou_mat > iou
+    # M[j, i] = True where j (higher score) suppresses i
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    M = ((iou_mat > iou) & (rows < cols)).astype(jnp.float32)
+    valid_f = valid.astype(jnp.float32)
 
-    def body(i, keep):
-        # candidate i is suppressed if any kept, higher-scoring box overlaps
-        suppressed = jnp.any(keep & overlap[i] & (jnp.arange(K) < i))
-        return keep.at[i].set(valid[i] & ~suppressed)
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < K)
 
-    keep = jnp.zeros((K,), dtype=bool)
-    return jax.lax.fori_loop(0, K, body, keep)
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.dot(keep, M, precision="highest",
+                             preferred_element_type=jnp.float32) > 0.0
+        new = valid_f * (1.0 - suppressed.astype(jnp.float32))
+        return new, keep, it + 1
+
+    keep0 = valid_f
+    keep, _, _ = jax.lax.while_loop(cond, body,
+                                    (keep0, jnp.zeros_like(keep0) - 1.0,
+                                     jnp.int32(0)))
+    return keep > 0.5
 
 
 @partial(jax.jit, static_argnames=("size", "iou", "keep_top_k", "max_candidates"))
