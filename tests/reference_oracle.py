@@ -38,7 +38,10 @@ def _install_stubs():
             return x
 
     def to_2tuple(x):
-        return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+        import collections.abc
+        if isinstance(x, collections.abc.Iterable) and not isinstance(x, str):
+            return tuple(int(v) for v in x)
+        return (x, x)
 
     def trunc_normal_(t, std=1.0, **k):
         with torch.no_grad():

@@ -123,3 +123,30 @@ def test_training_loss_decreases_on_synthetic(tmp_path):
     trainer2 = Trainer(config, str(tmp_path / "run"), n_devices=2)
     epoch = trainer2.resume()
     assert epoch == 2
+
+
+def test_sat_thermal_dataset(tmp_path):
+    import h5py
+    from xpoint_tpu.data import get_dataset
+    rng = np.random.default_rng(0)
+    for name in ("opt.hdf5", "th.hdf5"):
+        with h5py.File(tmp_path / name, "w") as f:
+            f.create_dataset("image_data",
+                             data=rng.integers(0, 255, (3, 96, 96, 3),
+                                               dtype=np.uint8))
+            f.create_dataset("image_name",
+                             data=[f"s{i}".encode() for i in range(3)])
+    ds = get_dataset({
+        'type': 'SatThermalGeoDataset',
+        'filename': str(tmp_path / "opt.hdf5"),
+        'filename_thermal': str(tmp_path / "th.hdf5"),
+        'single_image': False, 'height': 64, 'width': 64,
+        'augmentation': {'homographic': {'enable': True, 'params': {
+            'corner_homography': {'enable': False,
+                                  'params': {'patch_size': 32, 'rho': 8}}}}},
+    })
+    assert len(ds) == 3 and ds.returns_pair()
+    s = ds[0]
+    assert s['optical']['image'].shape == (64, 64, 1)
+    assert 0.0 <= s['optical']['image'].max() <= 1.0
+    assert s['name'] == 's0'

@@ -35,8 +35,10 @@ def _f32(w):
     return np.asarray(w, np.float32)
 
 
-def normalize_torch_keys(state_dict):
-    """Reference key surgery applied up front."""
+def normalize_torch_keys(state_dict, vssm_legacy=False):
+    """Reference key surgery applied up front. The patch_embed/ln_1 legacy
+    renames are VSSM-scoped (VMamba.py:1577-1586) — they must not touch
+    SwinV2's native patch_embed.proj keys."""
     out = collections.OrderedDict()
     for key, value in state_dict.items():
         k = key.split('__')[-1]               # fix_model_weigth_keys
@@ -44,10 +46,11 @@ def normalize_torch_keys(state_dict):
             k = k[len('module.'):]
         if k.startswith('backbone.'):         # pretrained VSSM prefix
             k = k[len('backbone.'):]
-        k = k.replace('patch_embed.proj.', 'patch_embed.0.')
-        k = k.replace('patch_embed.norm.', 'patch_embed.2.')
-        k = k.replace('.ln_1.', '.norm.')
-        k = k.replace('.self_attention.', '.op.')
+        if vssm_legacy:
+            k = k.replace('patch_embed.proj.', 'patch_embed.0.')
+            k = k.replace('patch_embed.norm.', 'patch_embed.2.')
+            k = k.replace('.ln_1.', '.norm.')
+            k = k.replace('.self_attention.', '.op.')
         out[k] = value
     return out
 
@@ -159,6 +162,39 @@ def _convert_vssm(params, stats, enc_t, enc_path, sd, depths):
                         p(f'layers_{i}_downsample_norm'), sd)
 
 
+def _convert_swin(params, stats, enc_t, enc_path, sd, depths):
+    """Reference SwinTransformerV2 -> SwinTransformerV2 (flax)."""
+    p = lambda *rest: enc_path + tuple(rest)
+    _convert_conv(params, f'{enc_t}.patch_embed.proj', p('patch_embed'), sd)
+    _convert_ln(params, f'{enc_t}.patch_embed.norm', p('patch_embed_norm'), sd)
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            bt = f'{enc_t}.layers.{i}.blocks.{j}'
+            bp = f'layers_{i}_blocks_{j}'
+            _convert_ln(params, f'{bt}.norm1', p(bp, 'norm1'), sd)
+            _convert_ln(params, f'{bt}.norm2', p(bp, 'norm2'), sd)
+            at = f'{bt}.attn'
+            _set(params, p(bp, 'attn', 'logit_scale'),
+                 _f32(sd[f'{at}.logit_scale']))
+            _set(params, p(bp, 'attn', 'qkv_kernel'),
+                 _lin_w(sd[f'{at}.qkv.weight']))
+            if f'{at}.q_bias' in sd:
+                _set(params, p(bp, 'attn', 'q_bias'), _f32(sd[f'{at}.q_bias']))
+                _set(params, p(bp, 'attn', 'v_bias'), _f32(sd[f'{at}.v_bias']))
+            _convert_dense(params, f'{at}.cpb_mlp.0', p(bp, 'attn', 'cpb_fc1'), sd)
+            _convert_dense(params, f'{at}.cpb_mlp.2', p(bp, 'attn', 'cpb_fc2'), sd)
+            _convert_dense(params, f'{at}.proj', p(bp, 'attn', 'proj'), sd)
+            _convert_dense(params, f'{bt}.mlp.fc1', p(bp, 'mlp_fc1'), sd)
+            _convert_dense(params, f'{bt}.mlp.fc2', p(bp, 'mlp_fc2'), sd)
+        if i < len(depths) - 1:
+            dt = f'{enc_t}.layers.{i}.downsample'
+            _convert_dense(params, f'{dt}.reduction',
+                           p(f'layers_{i}_downsample', 'reduction'), sd)
+            _convert_ln(params, f'{dt}.norm',
+                        p(f'layers_{i}_downsample', 'norm'), sd)
+    _convert_ln(params, f'{enc_t}.norm', p('norm'), sd)
+
+
 def _convert_regnet(params, stats, sd):
     rp = ('hm_regressor',)
     _convert_conv(params, 'hm_regressor.layer1.0', rp + ('conv1',), sd, bias=False)
@@ -178,7 +214,8 @@ def convert_torch_state_dict(state_dict, module, model_cfg):
         model_cfg: merged model config dict.
     """
     sd = normalize_torch_keys({k: (v.numpy() if hasattr(v, 'numpy') else v)
-                               for k, v in state_dict.items()})
+                               for k, v in state_dict.items()},
+                              vssm_legacy=(module.encoder_type == 'vmamba'))
     params, stats = {}, {}
 
     encoders = (['encoder_optical', 'encoder_thermal']
@@ -190,6 +227,9 @@ def convert_torch_state_dict(state_dict, module, model_cfg):
         elif module.encoder_type == 'vmamba':
             depths = dict(module.encoder_cfg).get('DEPTHS', (2, 2, 2, 2))
             _convert_vssm(params, stats, enc, (enc,), sd, depths)
+        elif module.encoder_type == 'swin':
+            depths = dict(module.encoder_cfg).get('DEPTHS', (2, 2, 6, 2))
+            _convert_swin(params, stats, enc, (enc,), sd, depths)
         else:
             raise NotImplementedError(
                 f"torch conversion for encoder {module.encoder_type}")

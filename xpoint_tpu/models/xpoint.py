@@ -232,6 +232,8 @@ def build_xpoint(config=None, dtype=None, scan_backend=None):
             n_channels = list(n_channels)
             # Swin output dim: embed * 2^(n_stages-1) / 16 after depth_to_space(4)
             n_channels[4] = int(embed * 2 ** (len(depths) - 1) / 16)
+            # overall ratio 2^(n-1)*4, /4 from depth_to_space (XPoint.py:408)
+            ratio = 2 ** (len(depths) - 1)
         else:
             raise ValueError(f"unsupported attention encoder: {ua.get('type')}")
 
