@@ -211,3 +211,35 @@ def test_compute_valid_mask_erosion():
     m1 = compute_valid_mask((32, 32), H, erosion_radius=3, mask_border=True)
     assert m1.sum() < m0.sum()
     assert set(np.unique(m0)) <= {0.0, 1.0}
+
+
+def test_knn2_match_lowe_ratio():
+    from xpoint_tpu.ops.matching import knn2_match
+    rng = np.random.default_rng(20)
+    d1 = rng.normal(size=(20, 16)).astype(np.float32)
+    d2 = rng.normal(size=(30, 16)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    idx2, dist, matched = map(np.asarray,
+                              knn2_match(jnp.asarray(d1), jnp.asarray(d2),
+                                         ratio=0.9))
+    dmat = np.sqrt(np.maximum(2 - 2 * np.clip(d1 @ d2.T, -1, 1), 0))
+    order = np.argsort(dmat, axis=1)
+    best, second = order[:, 0], order[:, 1]
+    ref_matched = dmat[np.arange(20), best] < 0.9 * dmat[np.arange(20), second]
+    np.testing.assert_array_equal(matched, ref_matched)
+    np.testing.assert_array_equal(idx2, best)
+
+
+def test_threshold_match():
+    from xpoint_tpu.ops.matching import threshold_match
+    rng = np.random.default_rng(21)
+    d1 = rng.normal(size=(10, 8)).astype(np.float32)
+    d2 = rng.normal(size=(12, 8)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    mat, dmat = map(np.asarray, threshold_match(jnp.asarray(d1),
+                                                jnp.asarray(d2),
+                                                threshold=1.2))
+    ref = np.sqrt(np.maximum(2 - 2 * np.clip(d1 @ d2.T, -1, 1), 0)) < 1.2
+    np.testing.assert_array_equal(mat, ref)

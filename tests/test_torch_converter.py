@@ -93,3 +93,79 @@ def test_vmamba_checkpoint_conversion_parity(tmp_path):
     prob, desc = _forward_jax(module, variables, img)
     np.testing.assert_allclose(prob, prob_ref, atol=5e-4)
     np.testing.assert_allclose(desc, desc_ref, atol=5e-3)
+
+
+@pytest.mark.parametrize("ftype,tol", [("v05", 5e-4), ("v051d_noz", 5e-4),
+                                       ("v052d_noz", 5e-4), ("v05_noz_oact", 5e-4)])
+def test_vmamba_forward_type_variants_parity(tmp_path, ftype, tol):
+    """SS2D variant parity: gated (v05), unidirectional (v051d),
+    bidirectional (v052d), output-GELU (_oact)."""
+    XPointRef = get_reference()
+    vssm_params = {
+        "DATA": {"IMG_SIZE": 512},
+        "MODEL": {"DROP_PATH_RATE": 0.2,
+                  "VSSM": {"DEPTHS": [1, 1, 1, 1], "EMBED_DIM": 32,
+                           "MLP_RATIO": 4.0, "PATCHEMBED": "v2",
+                           "DOWNSAMPLE": "v3", "SSM_CONV": 3,
+                           "SSM_CONV_BIAS": False, "SSM_DT_RANK": "auto",
+                           "SSM_D_STATE": 2, "SSM_FORWARDTYPE": ftype,
+                           "SSM_RATIO": 2.0}}}
+    yaml_file = tmp_path / "v.yaml"
+    yaml_file.write_text("MODEL:\n  TYPE: vssm\n")
+    cfg = {"multispectral": False,
+           "homography_regression_head": {"check": False},
+           "use_attention": {"check": True, "type": "VMamba",
+                             "height": 32, "width": 32,
+                             "model_parameters": vssm_params,
+                             "pretrained": {"check": True,
+                                            "yaml_file": str(yaml_file)}}}
+    ref = XPointRef(dict(cfg))
+    ref.eval()
+    module, mcfg = build_xpoint(cfg)
+    variables = convert_torch_state_dict(ref.state_dict(), module, mcfg)
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(size=(1, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref.forward_impl({"image": torch.from_numpy(img)})
+    prob, desc = _forward_jax(module, variables, img)
+    np.testing.assert_allclose(prob, out_ref["prob"][:, 0].numpy(), atol=tol)
+
+
+def test_pretrained_encoder_bootstrap(tmp_path):
+    """backbone.-prefixed VSSM checkpoint loads into the XPoint encoder."""
+    import jax
+    from xpoint_tpu.compat.torch_converter import convert_pretrained_encoder
+
+    XPointRef = get_reference()
+    vssm_params = {
+        "DATA": {"IMG_SIZE": 512},
+        "MODEL": {"DROP_PATH_RATE": 0.2,
+                  "VSSM": {"DEPTHS": [1, 1, 1, 1], "EMBED_DIM": 32,
+                           "MLP_RATIO": 4.0, "PATCHEMBED": "v2",
+                           "DOWNSAMPLE": "v3", "SSM_CONV": 3,
+                           "SSM_CONV_BIAS": False, "SSM_DT_RANK": "auto",
+                           "SSM_D_STATE": 1, "SSM_FORWARDTYPE": "v05_noz",
+                           "SSM_RATIO": 1.0}}}
+    yaml_file = tmp_path / "v.yaml"
+    yaml_file.write_text("MODEL:\n  TYPE: vssm\n")
+    cfg = {"multispectral": False,
+           "homography_regression_head": {"check": False},
+           "use_attention": {"check": True, "type": "VMamba",
+                             "height": 32, "width": 32,
+                             "model_parameters": vssm_params,
+                             "pretrained": {"check": True,
+                                            "yaml_file": str(yaml_file)}}}
+    ref = XPointRef(dict(cfg))
+    # fake a pretrained backbone checkpoint: encoder keys with backbone. prefix
+    enc_sd = {("backbone." + k[len("encoder."):]): v.numpy()
+              for k, v in ref.state_dict().items() if k.startswith("encoder.")}
+
+    module, mcfg = build_xpoint(cfg)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 1)), method=module.init_all)
+    new_vars = convert_pretrained_encoder(enc_sd, module, variables)
+    # encoder weights replaced, heads untouched
+    ref_w = ref.state_dict()["encoder.patch_embed.0.weight"].numpy()
+    got = np.asarray(new_vars["params"]["encoder"]["patch_embed_conv1"]["kernel"])
+    np.testing.assert_allclose(got, ref_w.transpose(2, 3, 1, 0), atol=1e-6)

@@ -245,6 +245,48 @@ def convert_torch_state_dict(state_dict, module, model_cfg):
     return {'params': params, 'batch_stats': stats}
 
 
+def convert_pretrained_encoder(state_dict, module, variables):
+    """Bootstrap the encoder(s) from a pretrained backbone checkpoint
+    (reference train.py:78-129: Swin rel-pos buffer removal, 'backbone.'
+    prefix strip, VSSM legacy renames). Returns updated variables; converts
+    whatever keys are present (classification heads etc. are ignored)."""
+    sd = normalize_torch_keys({k: (v.numpy() if hasattr(v, 'numpy') else v)
+                               for k, v in state_dict.items()},
+                              vssm_legacy=(module.encoder_type == 'vmamba'))
+    # re-prefix so the shared encoder converters can be reused
+    sd = {f'encoder.{k}': v for k, v in sd.items()}
+    params, stats = {}, {}
+    depths = dict(module.encoder_cfg).get('DEPTHS', (2, 2, 2, 2)) \
+        if module.encoder_cfg else None
+    try:
+        if module.encoder_type == 'vmamba':
+            _convert_vssm(params, stats, 'encoder', ('encoder',), sd, depths)
+        elif module.encoder_type == 'swin':
+            _convert_swin(params, stats, 'encoder', ('encoder',), sd, depths)
+        elif module.encoder_type == 'cnn':
+            _convert_cnn_encoder(params, stats, 'encoder', ('encoder',), sd,
+                                 module.double_convolution)
+    except KeyError as e:
+        raise KeyError(f"pretrained encoder checkpoint missing key {e}")
+
+    import copy
+    new_vars = copy.deepcopy(jax_to_mutable(variables))
+    enc_names = (['encoder_optical', 'encoder_thermal']
+                 if module.multispectral else ['encoder'])
+    for enc in enc_names:
+        new_vars['params'][enc] = params['encoder']
+        if stats.get('encoder') and 'batch_stats' in new_vars:
+            new_vars['batch_stats'][enc] = stats['encoder']
+    return new_vars
+
+
+def jax_to_mutable(tree):
+    """Recursively convert Frozen/immutable mappings to plain dicts."""
+    if hasattr(tree, 'items'):
+        return {k: jax_to_mutable(v) for k, v in tree.items()}
+    return tree
+
+
 def load_torch_checkpoint(path, module, model_cfg):
     """torch.load a reference .model file and convert."""
     import torch

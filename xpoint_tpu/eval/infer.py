@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from ..ops.detector import prob_from_logits
 from ..ops.nms import box_nms
 from ..ops.descriptor import interpolate_descriptors
-from ..ops.matching import mnn_match, matches_to_list
+from ..ops.matching import (mnn_match, knn2_match, threshold_match,
+                            matches_to_list)
 
 
 class XPointInference:
@@ -60,9 +61,35 @@ class XPointInference:
             return d * mask[:, None]
         self._interp = _interp
 
-        @jax.jit
-        def _match(d1, d2, m1, m2):
-            return mnn_match(d1, d2, m1, m2, cross_check=True)
+        # matching method from the prediction config (reference get_matches
+        # dispatch, matching.py:4-36): bfmatcher/nnmatcher with crossCheck or
+        # threshold, optional kNN + Lowe ratio 0.9, thresholdmatcher.
+        mcfg = self.cfg.get('matching') or {}
+        method = mcfg.get('method', 'bfmatcher')
+        kwargs = mcfg.get('method_kwargs') or {}
+        knn = bool(mcfg.get('knn_matches', False))
+        self._threshold_mode = (method == 'thresholdmatcher')
+        if knn:
+            @jax.jit
+            def _match(d1, d2, m1, m2):
+                return knn2_match(d1, d2, m1, m2, ratio=0.9)
+        elif self._threshold_mode:
+            thr = float(kwargs.get('threshold', 0.4))
+
+            @jax.jit
+            def _match(d1, d2, m1, m2):
+                return threshold_match(d1, d2, m1, m2, thr)
+        else:
+            cross = bool(kwargs.get('crossCheck', method == 'bfmatcher'))
+            thr = kwargs.get('threshold')
+            if method == 'nnmatcher':
+                thr = float(kwargs.get('threshold', 0.7))
+                cross = True
+
+            @jax.jit
+            def _match(d1, d2, m1, m2):
+                return mnn_match(d1, d2, m1, m2, threshold=thr,
+                                 cross_check=cross)
         self._match = _match
 
     def takes_pair(self):
@@ -124,6 +151,11 @@ class XPointInference:
         m2 = np.zeros((k,), bool)
         m1[:n1] = True
         m2[:n2] = True
-        idx2, dist, matched = self._match(jnp.asarray(d1), jnp.asarray(d2),
-                                          jnp.asarray(m1), jnp.asarray(m2))
-        return matches_to_list(idx2, dist, matched)
+        out = self._match(jnp.asarray(d1), jnp.asarray(d2),
+                          jnp.asarray(m1), jnp.asarray(m2))
+        if self._threshold_mode:
+            match_mat, dmat = np.asarray(out[0]), np.asarray(out[1])
+            ii, jj = np.nonzero(match_mat[:n1, :n2])
+            return [(int(i), int(j), float(dmat[i, j]))
+                    for i, j in zip(ii, jj)]
+        return matches_to_list(*out)

@@ -89,7 +89,8 @@ def _a_log_init(key, shape, dtype=jnp.float32):
 
 
 class SS2D(nn.Module):
-    """2D selective scan block, forward-type v05_noz / v05 semantics."""
+    """2D selective scan block, forward-type v0/v2/v05 family semantics
+    (scan modes cross2d/unidi/bidi = reference v05/v051d/v052d)."""
     d_model: int
     d_state: int = 1
     ssm_ratio: float = 1.0
@@ -97,6 +98,9 @@ class SS2D(nn.Module):
     d_conv: int = 3
     conv_bias: bool = False
     disable_z: bool = True          # _noz: no gate branch
+    disable_z_act: bool = False     # _nozact: gate without SiLU
+    out_act: bool = False           # _oact: GELU on the core output
+    scan_mode: int = 0              # 0 cross2d | 1 unidi | 2 bidi
     dtype: Any = jnp.float32
     scan_backend: str = "assoc"
 
@@ -116,7 +120,8 @@ class SS2D(nn.Module):
             xs, z = xz, None
         else:
             xs, z = jnp.split(xz, 2, axis=-1)
-            z = nn.silu(z)
+            if not self.disable_z_act:
+                z = nn.silu(z)
 
         if self.d_conv > 1:
             xs = nn.Conv(D, (self.d_conv, self.d_conv),
@@ -126,7 +131,7 @@ class SS2D(nn.Module):
         xs = nn.silu(xs)
 
         # ---- core: cross-scan -> projections -> selective scan -> merge ----
-        xk = cross_scan(xs)                                       # (B, K, L, D)
+        xk = cross_scan(xs, self.scan_mode)                       # (B, K, L, D)
 
         x_proj_w = self.param("x_proj_weight", _trunc_normal(),
                               (K, R + 2 * N, D), jnp.float32)
@@ -151,10 +156,12 @@ class SS2D(nn.Module):
         ys = selective_scan(u, dt, -jnp.exp(A_logs), Bmat, Cmat, Ds,
                             dt_bias.reshape(-1), True, backend=self.scan_backend)
         ys = ys.reshape(B, K, D, L).transpose(0, 1, 3, 2)          # (B, K, L, D)
-        y = cross_merge(ys, H, W)                                  # (B, H, W, D)
+        y = cross_merge(ys, H, W, self.scan_mode)                  # (B, H, W, D)
 
         y = nn.LayerNorm(dtype=jnp.float32, name="out_norm")(y)
         y = y.astype(x.dtype)
+        if self.out_act:
+            y = nn.gelu(y)
         if z is not None:
             y = y * z
         return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
@@ -171,6 +178,9 @@ class VSSBlock(nn.Module):
     ssm_conv_bias: bool = False
     mlp_ratio: float = 4.0
     disable_z: bool = True
+    disable_z_act: bool = False
+    out_act: bool = False
+    scan_mode: int = 0
     dtype: Any = jnp.float32
     scan_backend: str = "assoc"
 
@@ -179,6 +189,7 @@ class VSSBlock(nn.Module):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(x.dtype)
         y = SS2D(self.dim, self.d_state, self.ssm_ratio, self.dt_rank,
                  self.ssm_conv, self.ssm_conv_bias, self.disable_z,
+                 self.disable_z_act, self.out_act, self.scan_mode,
                  self.dtype, self.scan_backend, name="op")(y)
         x = x + DropPath(self.drop_path, deterministic)(y)
         if self.mlp_ratio > 0:
@@ -201,6 +212,9 @@ class VSSM(nn.Module):
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.2
     disable_z: bool = True
+    disable_z_act: bool = False
+    out_act: bool = False
+    scan_mode: int = 0
     patch_size: int = 4
     in_chans: int = 3
     dtype: Any = jnp.float32
@@ -235,7 +249,9 @@ class VSSM(nn.Module):
                 x = VSSBlock(dims[i_layer], dpr[block_idx], self.d_state,
                              self.ssm_ratio, self.dt_rank, self.ssm_conv,
                              self.ssm_conv_bias, self.mlp_ratio,
-                             self.disable_z, self.dtype, self.scan_backend,
+                             self.disable_z, self.disable_z_act,
+                             self.out_act, self.scan_mode,
+                             self.dtype, self.scan_backend,
                              name=f"layers_{i_layer}_blocks_{d}")(x, deterministic)
                 block_idx += 1
             if i_layer < len(self.depths) - 1:
@@ -255,6 +271,16 @@ def build_vssm_from_config(vssm_cfg, dtype=jnp.float32, scan_backend="assoc"):
     (params.yaml model_parameters; MYCONFIG.py:74-97)."""
     get = lambda k, d: vssm_cfg.get(k, d)
     dt_rank = get("SSM_DT_RANK", "auto")
+    # parse the forward_type postfix tags like the reference checkpostfix
+    # chain (VMamba.py:420-444): _noz/_nozact/_oact + scan-mode variants
+    ftype = str(get("SSM_FORWARDTYPE", "v05_noz"))
+    disable_z = ftype.endswith("_noz") or "_noz_" in ftype
+    disable_z_act = "_nozact" in ftype
+    out_act = "_oact" in ftype
+    base = ftype.split("_")[0]
+    scan_mode = {"v051d": 1, "v052d": 2}.get(base, 0)
+    if base in ("v052dc",):
+        raise NotImplementedError("cascade2d forward type not supported")
     return VSSM(
         depths=tuple(get("DEPTHS", [2, 2, 2, 2])),
         embed_dim=int(get("EMBED_DIM", 96)),
@@ -265,7 +291,10 @@ def build_vssm_from_config(vssm_cfg, dtype=jnp.float32, scan_backend="assoc"):
         ssm_conv_bias=bool(get("SSM_CONV_BIAS", False)),
         mlp_ratio=float(get("MLP_RATIO", 4.0)),
         drop_path_rate=float(get("DROP_PATH_RATE", 0.2)),
-        disable_z="noz" in str(get("SSM_FORWARDTYPE", "v05_noz")),
+        disable_z=disable_z,
+        disable_z_act=disable_z_act,
+        out_act=out_act,
+        scan_mode=scan_mode,
         dtype=dtype,
         scan_backend=scan_backend,
     )

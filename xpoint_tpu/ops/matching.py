@@ -54,6 +54,39 @@ def mnn_match(desc1, desc2, mask1=None, mask2=None, threshold=None,
     return idx2.astype(jnp.int32), dist, matched
 
 
+@partial(jax.jit, static_argnames=())
+def knn2_match(desc1, desc2, mask1=None, mask2=None, ratio=0.9):
+    """2-NN matching with Lowe's ratio test (reference matching.py:21-28:
+    knnMatch(k=2) + m.distance < ratio * n.distance).
+
+    Returns (idx2, dist, matched) like mnn_match.
+    """
+    BIG = jnp.float32(1e9)
+    dmat = descriptor_distance_matrix(desc1, desc2)
+    if mask1 is not None:
+        dmat = jnp.where(mask1[:, None], dmat, BIG)
+    if mask2 is not None:
+        dmat = jnp.where(mask2[None, :], dmat, BIG)
+    neg_top2, idx_top2 = jax.lax.top_k(-dmat, 2)
+    d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
+    matched = (d1 < BIG) & (d1 < ratio * d2)
+    return idx_top2[:, 0].astype(jnp.int32), d1, matched
+
+
+@jax.jit
+def threshold_match(desc1, desc2, mask1=None, mask2=None, threshold=0.4):
+    """All pairs below an absolute L2 threshold (reference ThresholdMatcher,
+    matching.py:77-102). Returns the boolean (N1, N2) match matrix plus the
+    distance matrix; the host enumerates pairs."""
+    BIG = jnp.float32(1e9)
+    dmat = descriptor_distance_matrix(desc1, desc2)
+    if mask1 is not None:
+        dmat = jnp.where(mask1[:, None], dmat, BIG)
+    if mask2 is not None:
+        dmat = jnp.where(mask2[None, :], dmat, BIG)
+    return dmat < threshold, dmat
+
+
 def matches_to_list(idx2, dist, matched):
     """Convert device match arrays to a host list of (i1, i2, distance)
     tuples ordered like cv2 matches (ascending query index)."""

@@ -105,6 +105,9 @@ class Trainer:
         variables = jax.jit(lambda r: self.module.init(
             r, jnp.asarray(img), method=self.module.init_all))(
                 jax.random.PRNGKey(seed))
+        # pretrained-encoder bootstrap (reference train.py:78-129)
+        variables = self._maybe_load_pretrained_encoder(variables)
+
         self.state = TrainState.create(variables['params'],
                                        variables.get('batch_stats'), self.tx)
         self.start_epoch = 0
@@ -119,6 +122,34 @@ class Trainer:
                 self.writer = SummaryWriter(os.path.join(output_dir, 'tb'))
             except ImportError:
                 pass
+
+    def _maybe_load_pretrained_encoder(self, variables):
+        ua = (self.config.get('model', {}) or {}).get('use_attention', {}) or {}
+        pre = ua.get('pretrained', {}) or {}
+        if not (ua.get('check') and pre.get('check')):
+            return variables
+        type_dir = pre.get('type_dir')
+        if not type_dir or not os.path.isdir(type_dir):
+            print(f"pretrained encoder dir not found ({type_dir}); "
+                  f"training from scratch", flush=True)
+            return variables
+        ckpts = [f for f in os.listdir(type_dir)
+                 if f.endswith(('.pth', '.model', '.ckpt', '.pt'))]
+        if not ckpts:
+            print(f"no pretrained encoder checkpoint in {type_dir}; "
+                  f"training from scratch", flush=True)
+            return variables
+        path = os.path.join(type_dir, sorted(ckpts)[0])
+        import torch
+        from .compat.torch_converter import convert_pretrained_encoder
+        sd = torch.load(path, map_location='cpu', weights_only=True)
+        for key in ('state_dict', 'model', 'model_state_dict'):
+            if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+                sd = sd[key]
+                break
+        variables = convert_pretrained_encoder(sd, self.module, variables)
+        print(f"loaded pretrained encoder weights from {path}", flush=True)
+        return variables
 
     def resume(self, name='latest'):
         restored, epoch = ckpt.restore(self.output_dir, self.state, name)
