@@ -20,7 +20,7 @@ def main():
     from xpoint_tpu.eval import make_pair_pipeline
     from __graft_entry__ import VMAMBA_MODEL_CFG
 
-    B, H, W = 2, 512, 512
+    B, H, W = 8, 512, 512
     module, _ = build_xpoint(VMAMBA_MODEL_CFG)
     rng = np.random.default_rng(0)
     img_o = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
@@ -41,26 +41,42 @@ def main():
     jax.block_until_ready(out)
     print(f"# compile+first run: {time.time()-t0:.1f}s", flush=True)
 
-    # steady state: a NEVER-repeated input per iteration, blocked each time
-    # (the runtime caches re-executions on identical device inputs)
+    # Measurement notes (see .claude/skills/verify/SKILL.md):
+    #  * block_until_ready is NOT an execution fence under the axon tunnel —
+    #    only a device->host fetch is;
+    #  * identical re-executions are cached by the runtime — every timed
+    #    iteration must see a never-repeated input;
+    #  * each dispatch+fetch pays a ~25 ms tunnel round trip, so production
+    #    throughput is measured PIPELINED: dispatch a stream of batches and
+    #    fence once at the end (single-device programs execute in dispatch
+    #    order), amortizing the round trip away.
     n_iters = 12
     inputs = [(jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32)),
                jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32)))
               for _ in range(n_iters)]
-    jax.block_until_ready(inputs)
-    # NOTE: under the axon TPU tunnel block_until_ready is not a reliable
-    # execution fence; a (tiny) device->host fetch is. Fence on match_dist.
-    np.asarray(pipeline(variables, *inputs[0])["match_dist"])  # drain queue
-    times = []
-    for a, b in inputs[1:]:
+    for a, b in inputs:                      # force input transfers now
+        np.asarray(jnp.sum(a) + jnp.sum(b))
+
+    # single-shot latency (one batch, fenced)
+    np.asarray(pipeline(variables, *inputs[0])["match_dist"])   # drain
+    lat = []
+    for a, b in inputs[1:5]:
         t0 = time.time()
         out = pipeline(variables, a, b)
         np.asarray(out["match_dist"])
-        times.append(time.time() - t0)
-    dt = float(np.median(times))
+        lat.append(time.time() - t0)
+    latency = float(np.median(lat))
+
+    # pipelined throughput (the production number)
+    t0 = time.time()
+    outs = [pipeline(variables, a, b) for a, b in inputs]
+    np.asarray(outs[-1]["match_dist"])       # fence the whole stream
+    dt = (time.time() - t0) / n_iters
     pairs_per_sec = B / dt
-    print(f"# steady-state: {dt*1000:.1f} ms/batch of {B} pairs "
-          f"({int(out['matched'].sum())} matches)", flush=True)
+    print(f"# single-shot latency: {latency*1000:.1f} ms/batch of {B} pairs",
+          flush=True)
+    print(f"# pipelined steady-state: {dt*1000:.1f} ms/batch of {B} pairs "
+          f"({int(outs[-1]['matched'].sum())} matches)", flush=True)
 
     print(json.dumps({
         "metric": "optical-thermal pairs/sec (detect+describe+match) at 512^2",

@@ -243,3 +243,18 @@ def test_threshold_match():
                                                 threshold=1.2))
     ref = np.sqrt(np.maximum(2 - 2 * np.clip(d1 @ d2.T, -1, 1), 0)) < 1.2
     np.testing.assert_array_equal(mat, ref)
+
+
+def test_box_nms_extract_matches_separate_path():
+    from xpoint_tpu.ops.nms import box_nms_extract
+    rng = np.random.default_rng(30)
+    prob = rng.uniform(size=(64, 64)).astype(np.float32)
+    prob[prob < 0.7] = 0.0
+    nmsd = box_nms(jnp.asarray(prob), 8, 0.015)
+    kps_ref, sc_ref, m_ref = extract_keypoints(nmsd, k=128, min_prob=0.015)
+    kps, sc, m = box_nms_extract(jnp.asarray(prob), 8, 0.015, k=128)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
+    n = int(np.asarray(m).sum())
+    np.testing.assert_array_equal(np.asarray(kps)[:n], np.asarray(kps_ref)[:n])
+    np.testing.assert_allclose(np.asarray(sc)[:n], np.asarray(sc_ref)[:n],
+                               atol=1e-6)

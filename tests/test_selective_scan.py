@@ -164,3 +164,23 @@ def test_pallas_gradients_match_ref():
     for gr, gp in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    atol=2e-3, rtol=1e-2)
+
+
+def test_fused_pallas_gradients_n1():
+    """The fused N=1 path's custom VJP (gradient through the unfused
+    composition) must match the sequential-reference gradients."""
+    from xpoint_tpu.ops.selective_scan import selective_scan_ref
+    from xpoint_tpu.ops.selective_scan_pallas import selective_scan_pallas
+    rng = np.random.default_rng(31)
+    args = [jnp.asarray(a) for a in make_params(rng, Batch=1, Cdim=4, N=1, L=128)]
+
+    def loss(fn, *a):
+        return jnp.sum(fn(*a, True) ** 2)
+
+    g_ref = jax.grad(lambda *a: loss(selective_scan_ref, *a),
+                     argnums=tuple(range(7)))(*args)
+    g_fused = jax.grad(lambda *a: loss(selective_scan_pallas, *a),
+                       argnums=tuple(range(7)))(*args)
+    for gr, gf in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-3, rtol=1e-2)

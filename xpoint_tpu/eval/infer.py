@@ -74,21 +74,21 @@ class XPointInference:
             def _match(d1, d2, m1, m2):
                 return knn2_match(d1, d2, m1, m2, ratio=0.9)
         elif self._threshold_mode:
-            thr = float(kwargs.get('threshold', 0.4))
+            match_thr = float(kwargs.get('threshold', 0.4))
 
             @jax.jit
             def _match(d1, d2, m1, m2):
-                return threshold_match(d1, d2, m1, m2, thr)
+                return threshold_match(d1, d2, m1, m2, match_thr)
         else:
             cross = bool(kwargs.get('crossCheck', method == 'bfmatcher'))
-            thr = kwargs.get('threshold')
+            match_thr = kwargs.get('threshold')
             if method == 'nnmatcher':
-                thr = float(kwargs.get('threshold', 0.7))
+                match_thr = float(kwargs.get('threshold', 0.7))
                 cross = True
 
             @jax.jit
             def _match(d1, d2, m1, m2):
-                return mnn_match(d1, d2, m1, m2, threshold=thr,
+                return mnn_match(d1, d2, m1, m2, threshold=match_thr,
                                  cross_check=cross)
         self._match = _match
 

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.detector import prob_from_logits
-from ..ops.nms import box_nms, extract_keypoints
+from ..ops.nms import box_nms, box_nms_extract
 from ..ops.descriptor import interpolate_descriptors
 from ..ops.matching import mnn_match
 
@@ -36,14 +36,11 @@ def make_pair_pipeline(module, image_shape, k=1024, nms_size=8,
         prob_o = prob_from_logits(pred_o["logits"], ratio)     # (B, H, W)
         prob_t = prob_from_logits(pred_t["logits"], ratio)
 
-        nms = partial(box_nms, size=nms_size, min_prob=detection_threshold,
-                      iou=iou, max_candidates=max_candidates)
-        nms_o = jax.vmap(lambda p: nms(p))(prob_o)
-        nms_t = jax.vmap(lambda p: nms(p))(prob_t)
-
-        ext = partial(extract_keypoints, k=k, min_prob=detection_threshold)
-        kps_o, sc_o, m_o = jax.vmap(lambda p: ext(p))(nms_o)
-        kps_t, sc_t, m_t = jax.vmap(lambda p: ext(p))(nms_t)
+        nmsx = partial(box_nms_extract, size=nms_size,
+                       min_prob=detection_threshold, iou=iou, k=k,
+                       max_candidates=max_candidates)
+        kps_o, sc_o, m_o = jax.vmap(lambda p: nmsx(p))(prob_o)
+        kps_t, sc_t, m_t = jax.vmap(lambda p: nmsx(p))(prob_t)
 
         interp = partial(interpolate_descriptors, image_shape=(H, W))
         d_o = jax.vmap(interp)(kps_o.astype(jnp.float32), pred_o["desc"])
@@ -54,7 +51,7 @@ def make_pair_pipeline(module, image_shape, k=1024, nms_size=8,
         idx2, dist, matched = jax.vmap(match)(d_o, d_t, m_o, m_t)
 
         return {
-            "prob_optical": nms_o, "prob_thermal": nms_t,
+            "prob_optical": prob_o, "prob_thermal": prob_t,
             "keypoints_optical": kps_o, "keypoints_thermal": kps_t,
             "scores_optical": sc_o, "scores_thermal": sc_t,
             "mask_optical": m_o, "mask_thermal": m_t,

@@ -148,14 +148,22 @@ class SS2D(nn.Module):
         dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
         dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w_c.astype(dts.dtype))
 
-        # reshape to the canonical scan layout (B, K*D, L)
-        u = xk.transpose(0, 1, 3, 2).reshape(B, K * D, L)
-        dt = dts.transpose(0, 1, 3, 2).reshape(B, K * D, L)
-        Bmat = Bs.transpose(0, 1, 3, 2)                            # (B, K, N, L)
-        Cmat = Cs.transpose(0, 1, 3, 2)
-        ys = selective_scan(u, dt, -jnp.exp(A_logs), Bmat, Cmat, Ds,
-                            dt_bias.reshape(-1), True, backend=self.scan_backend)
-        ys = ys.reshape(B, K, D, L).transpose(0, 1, 3, 2)          # (B, K, L, D)
+        if self.scan_backend == "pallas" and N == 1:
+            # fast path: feed the kernel in the natural (B, K, L, D) layout
+            from ..ops.selective_scan_pallas import selective_scan_fused_bkld
+            ys = selective_scan_fused_bkld(
+                xk, dts, -jnp.exp(A_logs.reshape(-1)), Bs, Cs, Ds,
+                dt_bias.reshape(-1))
+        else:
+            # canonical scan layout (B, K*D, L)
+            u = xk.transpose(0, 1, 3, 2).reshape(B, K * D, L)
+            dt = dts.transpose(0, 1, 3, 2).reshape(B, K * D, L)
+            Bmat = Bs.transpose(0, 1, 3, 2)                        # (B, K, N, L)
+            Cmat = Cs.transpose(0, 1, 3, 2)
+            ys = selective_scan(u, dt, -jnp.exp(A_logs), Bmat, Cmat, Ds,
+                                dt_bias.reshape(-1), True,
+                                backend=self.scan_backend)
+            ys = ys.reshape(B, K, D, L).transpose(0, 1, 3, 2)      # (B, K, L, D)
         y = cross_merge(ys, H, W, self.scan_mode)                  # (B, H, W, D)
 
         y = nn.LayerNorm(dtype=jnp.float32, name="out_norm")(y)

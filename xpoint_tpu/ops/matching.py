@@ -13,8 +13,10 @@ import jax.numpy as jnp
 @jax.jit
 def descriptor_distance_matrix(desc1, desc2):
     """(N1, D), (N2, D) unit descriptors -> (N1, N2) L2 distances."""
+    # HIGH = bf16x3 on TPU: fp32-grade accuracy at 3 bf16 passes instead of
+    # the 6-pass fp32 emulation of HIGHEST; match decisions are unchanged
     dots = jnp.dot(desc1, desc2.T, preferred_element_type=jnp.float32,
-                   precision="highest")
+                   precision="high")
     return jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.clip(dots, -1.0, 1.0), 0.0))
 
 

@@ -42,11 +42,13 @@ def _greedy_nms_indices(ys, xs, scores, valid, size, iou):
     dx = jnp.abs(xs[:, None] - xs[None, :])
     inter = jnp.maximum(s - dy, 0.0) * jnp.maximum(s - dx, 0.0)
     iou_mat = inter / (2.0 * s * s - inter)
-    # M[j, i] = True where j (higher score) suppresses i
+    # M[j, i] = True where j (higher score) suppresses i. bf16 is exact for
+    # a 0/1 matrix and the matvec result is only tested against zero, so the
+    # sweep runs at full MXU bf16 speed with no semantic change.
     rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    M = ((iou_mat > iou) & (rows < cols)).astype(jnp.float32)
-    valid_f = valid.astype(jnp.float32)
+    M = ((iou_mat > iou) & (rows < cols)).astype(jnp.bfloat16)
+    valid_f = valid.astype(jnp.bfloat16)
 
     def cond(state):
         keep, prev, it = state
@@ -54,9 +56,9 @@ def _greedy_nms_indices(ys, xs, scores, valid, size, iou):
 
     def body(state):
         keep, _, it = state
-        suppressed = jnp.dot(keep, M, precision="highest",
+        suppressed = jnp.dot(keep, M,
                              preferred_element_type=jnp.float32) > 0.0
-        new = valid_f * (1.0 - suppressed.astype(jnp.float32))
+        new = valid_f * (1.0 - suppressed.astype(jnp.bfloat16))
         return new, keep, it + 1
 
     keep0 = valid_f
@@ -105,6 +107,40 @@ def _box_nms_single(prob, size, min_prob, iou, keep_top_k, max_candidates):
     out = jnp.zeros_like(flat)
     out = out.at[idx].set(jnp.where(keep, scores, 0.0).astype(prob.dtype))
     return out.reshape(H, W)
+
+
+@partial(jax.jit, static_argnames=("size", "iou", "k", "max_candidates"))
+def box_nms_extract(prob, size, min_prob, iou=0.1, k=1024,
+                    max_candidates=4096):
+    """Fused NMS + keypoint extraction: identical results to
+    box_nms -> extract_keypoints but without scattering back to the
+    full-resolution heatmap and re-running top-k over H*W — the kept
+    candidates are already known inside the NMS.
+
+    Returns (keypoints (k, 2) int32, scores (k,), mask (k,)).
+    """
+    H, W = prob.shape
+    flat = prob.reshape(-1)
+    K = min(max_candidates, H * W)
+    scores, idx = jax.lax.top_k(flat, K)
+    valid = scores > min_prob
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    keep = _greedy_nms_indices(ys, xs, scores.astype(jnp.float32), valid,
+                               size, iou)
+    kept_scores = jnp.where(keep, scores, 0.0)
+    top_scores, top_i = jax.lax.top_k(kept_scores, min(k, K))
+    mask = top_scores > min_prob
+    kps = jnp.stack([(idx[top_i] // W).astype(jnp.int32),
+                     (idx[top_i] % W).astype(jnp.int32)], axis=-1)
+    kps = jnp.where(mask[:, None], kps, 0)
+    scores_out = jnp.where(mask, top_scores, 0.0)
+    if k > K:
+        pad = k - K
+        kps = jnp.pad(kps, ((0, pad), (0, 0)))
+        scores_out = jnp.pad(scores_out, (0, pad))
+        mask = jnp.pad(mask, (0, pad))
+    return kps, scores_out, mask
 
 
 @partial(jax.jit, static_argnames=("k", "min_prob"))

@@ -118,13 +118,195 @@ def _linear_scan_bwd(res, g):
 linear_scan.defvjp(_linear_scan_fwd, _linear_scan_bwd)
 
 
+def _fused_scan_kernel(dt_ref, u_ref, b_ref, c_ref, A_ref, D_ref, bias_ref,
+                       y_ref, carry, *, chunk):
+    """Fully fused N=1 selective scan: softplus + discretization + scan +
+    output projection in one VMEM pass (the analog of the CUDA kernel's
+    single fused traversal). 5 HBM passes instead of ~12."""
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    dt = jax.nn.softplus(dt_ref[...].astype(jnp.float32)
+                         + bias_ref[...].astype(jnp.float32))
+    u = u_ref[...].astype(jnp.float32)
+    a = jnp.exp(dt * A_ref[...].astype(jnp.float32))
+    b = dt * u * b_ref[...].astype(jnp.float32)
+
+    offset = 1
+    while offset < chunk:
+        a_prev = jnp.concatenate(
+            [jnp.ones_like(a[:offset]), a[:-offset]], axis=0)
+        b_prev = jnp.concatenate(
+            [jnp.zeros_like(b[:offset]), b[:-offset]], axis=0)
+        b = a * b_prev + b
+        a = a * a_prev
+        offset *= 2
+
+    h = b + a * carry[0:1, :]
+    y_ref[...] = (c_ref[...].astype(jnp.float32) * h
+                  + D_ref[...].astype(jnp.float32) * u).astype(y_ref.dtype)
+    carry[0:1, :] = h[chunk - 1:chunk, :]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "lane_block"))
+def _fused_scan_lm(dt, u, bc, cc, A, D, bias, chunk=DEFAULT_CHUNK,
+                   lane_block=DEFAULT_LANE_BLOCK):
+    """(L, M) fused scan. A/D/bias: (1, M) per-lane constants."""
+    L, M = dt.shape
+    Lp = _round_up(max(L, chunk), chunk)
+    Mp = _round_up(max(M, lane_block), lane_block)
+
+    def pad(x, cv=0.0):
+        return jnp.pad(x, ((0, Lp - x.shape[0]), (0, Mp - M)),
+                       constant_values=cv)
+
+    dt_p, u_p, bc_p, cc_p = pad(dt), pad(u), pad(bc), pad(cc)
+    # A padded with -1 keeps exp(dt*A) <= 1 in dead lanes (no overflow)
+    A_p = jnp.pad(A, ((0, 0), (0, Mp - M)), constant_values=-1.0)
+    D_p = jnp.pad(D, ((0, 0), (0, Mp - M)))
+    bias_p = jnp.pad(bias, ((0, 0), (0, Mp - M)))
+
+    grid = (Mp // lane_block, Lp // chunk)
+    row_spec = pl.BlockSpec((chunk, lane_block), lambda m, l: (l, m),
+                            memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((1, lane_block), lambda m, l: (0, m),
+                              memory_space=pltpu.VMEM)
+    # oflex semantics: output in the input dtype (bf16 under mixed precision
+    # halves the write traffic; the fp32 state stays in VMEM)
+    out_dtype = dt.dtype
+    y = pl.pallas_call(
+        functools.partial(_fused_scan_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, row_spec,
+                  const_spec, const_spec, const_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((Lp, Mp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((8, lane_block), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=(jax.default_backend() == "cpu"),
+    )(dt_p, u_p, bc_p, cc_p, A_p, D_p, bias_p)
+    return y[:L, :M]
+
+
+def _selective_scan_fused_impl(u, delta, A, Bmat, Cmat, D, delta_bias):
+    """N=1 fast path in reference layout; fp32 output."""
+    Batch, K, N, L = Bmat.shape
+    KC = u.shape[1]
+    Cdim = KC // K
+    M = Batch * KC
+
+    # (B, KC, L) -> (L, B*KC)
+    to_lm = lambda x: x.reshape(Batch * KC, L).T
+    u_lm = to_lm(u)
+    dt_lm = to_lm(delta)
+    # (B, K, 1, L) -> broadcast over Cdim -> (L, B*KC)
+    bc = jnp.repeat(Bmat[:, :, 0, :], Cdim, axis=1).reshape(M, L).T
+    cc = jnp.repeat(Cmat[:, :, 0, :], Cdim, axis=1).reshape(M, L).T
+    A_m = jnp.tile(A[:, 0], Batch)[None]
+    D_m = (jnp.tile(D, Batch) if D is not None
+           else jnp.zeros((KC * Batch,), jnp.float32))[None]
+    bias_m = (jnp.tile(delta_bias, Batch) if delta_bias is not None
+              else jnp.zeros((KC * Batch,), jnp.float32))[None]
+
+    y = _fused_scan_lm(dt_lm, u_lm, bc, cc,
+                       A_m.astype(jnp.float32), D_m.astype(jnp.float32),
+                       bias_m.astype(jnp.float32))
+    return y.T.reshape(Batch, KC, L)
+
+
+def _fused_bkld_impl(u, dt, A, Bs, Cs, D, delta_bias):
+    B, K, L, Dim = u.shape
+    M = B * K * Dim
+    to_lm = lambda x: x.transpose(2, 0, 1, 3).reshape(L, M)
+    bc = jnp.broadcast_to(Bs, (B, K, L, Dim))
+    cc = jnp.broadcast_to(Cs, (B, K, L, Dim))
+    A_m = jnp.tile(A, B)[None].astype(jnp.float32)
+    D_m = jnp.tile(D, B)[None].astype(jnp.float32)
+    bias_m = jnp.tile(delta_bias, B)[None].astype(jnp.float32)
+    y = _fused_scan_lm(to_lm(dt), to_lm(u), to_lm(bc), to_lm(cc),
+                       A_m, D_m, bias_m)
+    return y.reshape(L, B, K, Dim).transpose(1, 2, 0, 3)
+
+
+def _unfused_bkld_ref(u, dt, A, Bs, Cs, D, delta_bias):
+    """jnp reference of the bkld fused scan (linear_scan handles the
+    recurrence vjp) — used for the backward pass."""
+    B, K, L, Dim = u.shape
+    dtp = jax.nn.softplus(dt.astype(jnp.float32)
+                          + delta_bias.reshape(1, K, 1, Dim))
+    uf = u.astype(jnp.float32)
+    a = jnp.exp(dtp * A.reshape(1, K, 1, Dim))
+    b = dtp * uf * Bs.astype(jnp.float32)
+    M = B * K * Dim
+    to_lm = lambda x: x.transpose(2, 0, 1, 3).reshape(L, M)
+    h = linear_scan(to_lm(a), to_lm(b))
+    h = h.reshape(L, B, K, Dim).transpose(1, 2, 0, 3)
+    return Cs.astype(jnp.float32) * h + D.reshape(1, K, 1, Dim) * uf
+
+
+@jax.custom_vjp
+def selective_scan_fused_bkld(u, dt, A, Bs, Cs, D, delta_bias):
+    """N=1 fused scan taking SS2D's natural layout directly — one relayout
+    to (L, M) instead of the two big transposes of the reference layout.
+
+    u/dt: (B, K, L, Dim); Bs/Cs: (B, K, L, 1); A/D/delta_bias: (K*Dim,)
+    with A/D/delta_bias reshaped per (K, Dim). Returns (B, K, L, Dim) fp32.
+    """
+    return _fused_bkld_impl(u, dt, A, Bs, Cs, D, delta_bias)
+
+
+def _fused_bkld_fwd(*args):
+    return _fused_bkld_impl(*args), args
+
+
+def _fused_bkld_bwd(res, g):
+    _, vjp = jax.vjp(_unfused_bkld_ref, *res)
+    return vjp(g)
+
+
+selective_scan_fused_bkld.defvjp(_fused_bkld_fwd, _fused_bkld_bwd)
+
+
+@jax.custom_vjp
+def selective_scan_fused(u, delta, A, Bmat, Cmat, D, delta_bias):
+    return _selective_scan_fused_impl(u, delta, A, Bmat, Cmat, D, delta_bias)
+
+
+def _fused_fwd(u, delta, A, Bmat, Cmat, D, delta_bias):
+    y = _selective_scan_fused_impl(u, delta, A, Bmat, Cmat, D, delta_bias)
+    return y, (u, delta, A, Bmat, Cmat, D, delta_bias)
+
+
+def _fused_bwd(res, g):
+    # gradient through the unfused composition (linear_scan has its own vjp);
+    # must NOT re-enter the fused dispatch or the vjp would recurse
+    _, vjp = jax.vjp(lambda *a: _selective_scan_unfused(*a, True), *res)
+    return vjp(g)
+
+
+selective_scan_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 def selective_scan_pallas(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
                           delta_softplus=True):
     """Selective scan with the Pallas recurrence kernel.
 
     Same contract as ops.selective_scan.selective_scan_* (reference layout:
     u/delta (B, K*C, L); A (K*C, N); Bmat/Cmat (B, K, N, L)); fp32 output.
+    N=1 with delta_softplus dispatches to the fully fused kernel.
     """
+    if Bmat.shape[2] == 1 and delta_softplus:
+        return selective_scan_fused(u, delta, A, Bmat, Cmat, D, delta_bias)
+    return _selective_scan_unfused(u, delta, A, Bmat, Cmat, D, delta_bias,
+                                   delta_softplus)
+
+
+def _selective_scan_unfused(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
+                            delta_softplus=True):
     Batch, K, N, L = Bmat.shape
     KC = u.shape[1]
     Cdim = KC // K
