@@ -100,3 +100,15 @@ def test_regnet_shapes():
     params = m.init(jax.random.PRNGKey(0), x, x)
     y = m.apply(params, x, x)
     assert y.shape == (2, 8)
+
+
+def test_vssm_m0_forward():
+    """Mamba-2 (m0) forward type: shapes + finiteness."""
+    model = VSSM(depths=(1, 1, 1, 1), embed_dim=32, use_m0=True,
+                 d_state=16, ssm_ratio=2.0, disable_z=False)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 64, 64, 1)),
+                    dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 8, 8, 16)
+    assert np.isfinite(np.asarray(y)).all()

@@ -141,10 +141,11 @@ def _convert_vssm(params, stats, enc_t, enc_path, sd, depths):
                          _f32(sd[f'{op}.conv2d.bias']))
             _set(params, p(bp, 'op', 'x_proj_weight'),
                  _f32(sd[f'{op}.x_proj_weight']))
-            # my dt weight param is stored pre-shift: dt_w_c = dt_w - R^-0.5
-            dtw = _f32(sd[f'{op}.dt_projs_weight'])
-            R = dtw.shape[-1]
-            _set(params, p(bp, 'op', 'dt_projs_weight'), dtw + R ** -0.5)
+            if f'{op}.dt_projs_weight' in sd:
+                # my dt weight param is stored pre-shift: dt_w_c = dt_w - R^-0.5
+                dtw = _f32(sd[f'{op}.dt_projs_weight'])
+                R = dtw.shape[-1]
+                _set(params, p(bp, 'op', 'dt_projs_weight'), dtw + R ** -0.5)
             _set(params, p(bp, 'op', 'dt_projs_bias'),
                  _f32(sd[f'{op}.dt_projs_bias']))
             _set(params, p(bp, 'op', 'A_logs'), _f32(sd[f'{op}.A_logs']))

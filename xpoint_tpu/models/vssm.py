@@ -176,6 +176,88 @@ class SS2D(nn.Module):
                         kernel_init=_trunc_normal(), name="out_proj")(y)
 
 
+class SS2Dm0(nn.Module):
+    """Mamba-2 (SSD) variant of SS2D — reference SS2Dm0 (VMamba.py:915-1104):
+    KR scalar-A heads of dim d_inner//R, chunked SSD scan, GELU activation,
+    v2 initialization (A = -1, Ds ones, small random dt bias)."""
+    d_model: int
+    d_state: int = 64
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    d_conv: int = 3
+    conv_bias: bool = True
+    disable_z: bool = False
+    disable_z_act: bool = False
+    out_act: bool = False
+    scan_mode: int = 0
+    chunk_size: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.ssd import ssd_chunked
+        B, H, W, _ = x.shape
+        K = 4
+        d_inner = int(self.ssm_ratio * self.d_model)
+        R = int(math.ceil(self.d_model / 16)) if self.dt_rank == "auto" \
+            else self.dt_rank
+        Dh = d_inner // R            # head dim
+        N = self.d_state
+        L = H * W
+
+        d_proj = d_inner if self.disable_z else 2 * d_inner
+        xz = nn.Dense(d_proj, use_bias=False, dtype=self.dtype,
+                      kernel_init=_trunc_normal(), name="in_proj")(x)
+        if self.disable_z:
+            xs, z = xz, None
+        else:
+            xs, z = jnp.split(xz, 2, axis=-1)
+            if not self.disable_z_act:
+                z = nn.gelu(z)
+        if self.d_conv > 1:
+            xs = nn.Conv(d_inner, (self.d_conv, self.d_conv),
+                         feature_group_count=d_inner, use_bias=self.conv_bias,
+                         padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                         name="conv2d")(xs)
+        xs = nn.gelu(xs)
+
+        xk = cross_scan(xs, self.scan_mode)                  # (B, K, L, RD)
+
+        x_proj_w = self.param("x_proj_weight", _trunc_normal(),
+                              (K, R + 2 * N, d_inner), jnp.float32)
+        # v2 init (VMamba.py:1007-1011): A=-exp(0)=-1, Ds ones, dt bias rand
+        A_logs = self.param("A_logs", nn.initializers.zeros, (K, R),
+                            jnp.float32)
+        Ds = self.param("Ds", nn.initializers.ones, (K, R, Dh), jnp.float32)
+        dt_bias = self.param("dt_projs_bias",
+                             nn.initializers.uniform(scale=0.1), (K, R),
+                             jnp.float32)
+
+        x_dbl = jnp.einsum("bkld,kcd->bklc", xk, x_proj_w.astype(xk.dtype))
+        dts, Bsp, Csp = jnp.split(x_dbl, [R, R + N], axis=-1)
+
+        # heads: (B, L, K*R, Dh); groups: K (B/C shared across R heads)
+        xh = xk.transpose(0, 2, 1, 3).reshape(B, L, K * R, Dh)
+        dth = dts.transpose(0, 2, 1, 3).reshape(B, L, K * R)
+        Bg = Bsp.transpose(0, 2, 1, 3)                       # (B, L, K, N)
+        Cg = Csp.transpose(0, 2, 1, 3)
+
+        y, _ = ssd_chunked(xh, dth, -jnp.exp(A_logs.reshape(-1)), Bg, Cg,
+                           Ds.reshape(K * R, Dh), dt_bias.reshape(-1),
+                           chunk_size=self.chunk_size)
+        ys = y.reshape(B, L, K, R * Dh).transpose(0, 2, 1, 3)  # (B,K,L,RD)
+        out = cross_merge(ys.astype(x.dtype), H, W, self.scan_mode)
+
+        out = nn.LayerNorm(dtype=jnp.float32, name="out_norm")(out)
+        out = out.astype(x.dtype)
+        if self.out_act:
+            out = nn.gelu(out)
+        if z is not None:
+            out = out * z
+        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                        kernel_init=_trunc_normal(), name="out_proj")(out)
+
+
 class VSSBlock(nn.Module):
     dim: int
     drop_path: float = 0.0
@@ -189,16 +271,23 @@ class VSSBlock(nn.Module):
     disable_z_act: bool = False
     out_act: bool = False
     scan_mode: int = 0
+    use_m0: bool = False
     dtype: Any = jnp.float32
     scan_backend: str = "assoc"
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(x.dtype)
-        y = SS2D(self.dim, self.d_state, self.ssm_ratio, self.dt_rank,
-                 self.ssm_conv, self.ssm_conv_bias, self.disable_z,
-                 self.disable_z_act, self.out_act, self.scan_mode,
-                 self.dtype, self.scan_backend, name="op")(y)
+        if self.use_m0:
+            y = SS2Dm0(self.dim, self.d_state, self.ssm_ratio, self.dt_rank,
+                       self.ssm_conv, self.ssm_conv_bias, self.disable_z,
+                       self.disable_z_act, self.out_act, self.scan_mode,
+                       dtype=self.dtype, name="op")(y)
+        else:
+            y = SS2D(self.dim, self.d_state, self.ssm_ratio, self.dt_rank,
+                     self.ssm_conv, self.ssm_conv_bias, self.disable_z,
+                     self.disable_z_act, self.out_act, self.scan_mode,
+                     self.dtype, self.scan_backend, name="op")(y)
         x = x + DropPath(self.drop_path, deterministic)(y)
         if self.mlp_ratio > 0:
             y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
@@ -223,6 +312,7 @@ class VSSM(nn.Module):
     disable_z_act: bool = False
     out_act: bool = False
     scan_mode: int = 0
+    use_m0: bool = False
     patch_size: int = 4
     in_chans: int = 3
     dtype: Any = jnp.float32
@@ -258,7 +348,7 @@ class VSSM(nn.Module):
                              self.ssm_ratio, self.dt_rank, self.ssm_conv,
                              self.ssm_conv_bias, self.mlp_ratio,
                              self.disable_z, self.disable_z_act,
-                             self.out_act, self.scan_mode,
+                             self.out_act, self.scan_mode, self.use_m0,
                              self.dtype, self.scan_backend,
                              name=f"layers_{i_layer}_blocks_{d}")(x, deterministic)
                 block_idx += 1
@@ -289,6 +379,10 @@ def build_vssm_from_config(vssm_cfg, dtype=jnp.float32, scan_backend="assoc"):
     scan_mode = {"v051d": 1, "v052d": 2}.get(base, 0)
     if base in ("v052dc",):
         raise NotImplementedError("cascade2d forward type not supported")
+    use_m0 = base.startswith("m")
+    if use_m0:
+        # m0 keeps the gate unless _noz; reference defaults d_state=64
+        pass
     return VSSM(
         depths=tuple(get("DEPTHS", [2, 2, 2, 2])),
         embed_dim=int(get("EMBED_DIM", 96)),
@@ -303,6 +397,7 @@ def build_vssm_from_config(vssm_cfg, dtype=jnp.float32, scan_backend="assoc"):
         disable_z_act=disable_z_act,
         out_act=out_act,
         scan_mode=scan_mode,
+        use_m0=use_m0,
         dtype=dtype,
         scan_backend=scan_backend,
     )
