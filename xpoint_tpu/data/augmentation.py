@@ -31,6 +31,7 @@ def homographic_augmentation(image, keypoints=None, return_homography=False,
                              params=None, border_reflect=True,
                              valid_border_margin=0, mask_border=True,
                              enable=True):
+    import os
     params = dict(params or {})
     corner = params.pop('corner_homography', None)
     image_shape = image.shape
@@ -39,11 +40,23 @@ def homographic_augmentation(image, keypoints=None, return_homography=False,
     else:
         homography = sample_homography(image_shape, **params)
 
-    border_mode = cv2.BORDER_REFLECT_101 if border_reflect else cv2.BORDER_CONSTANT
-    warped_image = cv2.warpPerspective(image, homography, image.shape[::-1],
-                                       borderMode=border_mode)
-    valid_mask = compute_valid_mask(image_shape, homography,
-                                    valid_border_margin * 2, mask_border)
+    # fused native engine (warp + mask + erosion in one C call); cv2 fallback
+    native_out = None
+    if not os.environ.get('XPOINT_NO_NATIVE'):
+        from .. import native
+        native_out = native.homographic_augment(
+            image, homography, border_reflect,
+            valid_border_margin * 2, mask_border)
+    if native_out is not None:
+        warped_image, valid_mask = native_out
+    else:
+        border_mode = (cv2.BORDER_REFLECT_101 if border_reflect
+                       else cv2.BORDER_CONSTANT)
+        warped_image = cv2.warpPerspective(image, homography,
+                                           image.shape[::-1],
+                                           borderMode=border_mode)
+        valid_mask = compute_valid_mask(image_shape, homography,
+                                        valid_border_margin * 2, mask_border)
 
     if keypoints is not None and np.size(keypoints) > 0:
         warped_points = warp_keypoints(keypoints, homography)
