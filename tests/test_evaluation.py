@@ -122,3 +122,28 @@ def test_full_eval_loop_tiny_model():
     assert 0.0 <= out['nn_map'] <= 1.0
     assert 0.0 <= out['m_score'] <= 1.0
     assert len(out['pts_dist']) == 2
+
+
+def test_pipeline_with_on_device_ransac():
+    """Full pipeline incl. on-device homography estimation: identity pair
+    must register to ~identity."""
+    from xpoint_tpu.models import build_xpoint
+    from xpoint_tpu.eval import make_pair_pipeline
+
+    module, _ = build_xpoint({
+        'multispectral': False, 'takes_pair': True, 'channel_version': 2,
+        'descriptor_size': 32,
+        'homography_regression_head': {'check': False}})
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=(1, 64, 64, 1)).astype(np.float32))
+    variables = module.init(jax.random.PRNGKey(0), img,
+                            method=module.init_all)
+    pipe = make_pair_pipeline(module, (64, 64), k=256, nms_size=4,
+                              detection_threshold=1e-4,
+                              estimate_homography=True, ransac_iters=64)
+    out = pipe(variables, img, img, jax.random.PRNGKey(1))
+    H = np.asarray(out['H_est'][0])
+    assert out['H_est'].shape == (1, 3, 3)
+    # same image both sides -> near-identity homography
+    assert np.abs(H - np.eye(3)).max() < 0.3, H
+    assert int(out['ransac_n_inliers'][0]) > 10

@@ -1,0 +1,88 @@
+"""On-device DLT + RANSAC homography estimation tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from xpoint_tpu.geometry.ransac import fit_homography_dlt, ransac_homography
+
+
+def make_correspondences(rng, n_in=80, n_out=40, noise=0.3):
+    H_true = np.array([[1.05, 0.03, 8.0],
+                       [-0.02, 0.97, -5.0],
+                       [2e-5, -3e-5, 1.0]])
+    pts1 = rng.uniform(20, 480, size=(n_in + n_out, 2))
+    ones = np.ones((len(pts1), 1))
+    p = (np.concatenate([pts1, ones], 1) @ H_true.T)
+    pts2 = p[:, :2] / p[:, 2:]
+    pts2[:n_in] += rng.normal(0, noise, (n_in, 2))
+    pts2[n_in:] = rng.uniform(0, 500, (n_out, 2))      # outliers
+    return (pts1.astype(np.float32), pts2.astype(np.float32),
+            H_true.astype(np.float64))
+
+
+def corner_error(H_est, H_true, size=512):
+    pts = np.array([[0, 0, 1], [size, 0, 1], [0, size, 1], [size, size, 1]],
+                   float)
+    a = pts @ np.asarray(H_est, float).T
+    b = pts @ H_true.T
+    a = a[:, :2] / a[:, 2:]
+    b = b[:, :2] / b[:, 2:]
+    return np.linalg.norm(a - b, axis=1).mean()
+
+
+def test_dlt_exact_on_clean_points():
+    rng = np.random.default_rng(0)
+    pts1, pts2, H_true = make_correspondences(rng, n_in=30, n_out=0, noise=0.0)
+    H = fit_homography_dlt(jnp.asarray(pts1[:30]), jnp.asarray(pts2[:30]))
+    H = np.asarray(H)
+    H = H / H[2, 2]
+    assert corner_error(H, H_true) < 0.1
+
+
+def test_ransac_rejects_outliers():
+    rng = np.random.default_rng(1)
+    pts1, pts2, H_true = make_correspondences(rng)
+    N = 256
+    p1 = np.zeros((N, 2), np.float32)
+    p2 = np.zeros((N, 2), np.float32)
+    m = np.zeros((N,), bool)
+    p1[:len(pts1)] = pts1
+    p2[:len(pts2)] = pts2
+    m[:len(pts1)] = True
+
+    out = ransac_homography(jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(m),
+                            jax.random.PRNGKey(0), threshold=3.0,
+                            n_iters=256)
+    H = np.asarray(out["H"])
+    assert corner_error(H, H_true) < 2.0
+    n_in = int(out["n_inliers"])
+    assert 60 <= n_in <= 90          # ~80 true inliers
+    # outlier rows excluded
+    inl = np.asarray(out["inliers"])
+    assert inl[120:].sum() <= 8
+
+
+def test_ransac_agrees_with_cv2_magsac():
+    import cv2
+    rng = np.random.default_rng(2)
+    pts1, pts2, H_true = make_correspondences(rng, n_in=100, n_out=60)
+    H_cv, _ = cv2.findHomography(pts1.reshape(-1, 1, 2),
+                                 pts2.reshape(-1, 1, 2),
+                                 method=cv2.USAC_MAGSAC,
+                                 ransacReprojThreshold=3.0,
+                                 confidence=0.9999, maxIters=10000)
+    N = 256
+    p1 = np.zeros((N, 2), np.float32)
+    p2 = np.zeros((N, 2), np.float32)
+    m = np.zeros((N,), bool)
+    p1[:len(pts1)] = pts1
+    p2[:len(pts2)] = pts2
+    m[:len(pts1)] = True
+    out = ransac_homography(jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(m),
+                            jax.random.PRNGKey(3), threshold=3.0,
+                            n_iters=512)
+    err_ours = corner_error(np.asarray(out["H"]), H_true)
+    err_cv = corner_error(H_cv, H_true)
+    assert err_ours < max(2.0 * err_cv, 2.0), (err_ours, err_cv)

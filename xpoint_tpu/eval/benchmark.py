@@ -27,13 +27,17 @@ def timing_harness(infer, dataset, indices, config, n_warmup=1):
     time_dict = {"two_forward": [], "nms": [], "interpolate": []}
     pred_cfg = config['prediction']
 
-    # warm up compiles so the measurement matches the reference's steady GPU
+    # warm up ALL stage compiles so the measurement matches the reference's
+    # steady GPU numbers (forward, nms, descriptor interpolation)
     sample = dataset[indices[0]]
     img_o = np.asarray(sample['optical']['image'])[None]
     img_t = np.asarray(sample['thermal']['image'])[None]
     for _ in range(n_warmup):
-        jax.block_until_ready(infer._forward_pair(
-            infer.variables, img_o, img_t))
+        out = infer._forward_pair(infer.variables, img_o, img_t)
+        po = np.asarray(out[0])
+        pn = infer.nms(po)
+        kp = infer.keypoints_from_prob(pn[0])
+        infer.descriptors_at(kp, np.asarray(out[2])[0], po.shape[1:3])
 
     for index in indices:
         sample = dataset[index]

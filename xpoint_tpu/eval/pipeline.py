@@ -21,15 +21,22 @@ from ..ops.matching import mnn_match
 def make_pair_pipeline(module, image_shape, k=1024, nms_size=8,
                        detection_threshold=0.015, iou=0.1,
                        match_threshold=None, cross_check=True,
-                       max_candidates=4096, ratio=8):
-    """Returns jitted fn(variables, img_o, img_t) -> dict of device arrays.
+                       max_candidates=4096, ratio=8,
+                       estimate_homography=False, ransac_iters=512,
+                       ransac_threshold=3.0):
+    """Returns jitted fn(variables, img_o, img_t[, rng]) -> device arrays.
 
     Images: (B, H, W, 1). All outputs fixed-size with validity masks.
+    With estimate_homography=True the registration homography is fitted
+    on-device too (batched DLT + RANSAC, geometry/ransac.py) and the output
+    gains 'H_est' (B, 3, 3), 'ransac_inliers', 'ransac_score'.
     """
     H, W = image_shape
+    if estimate_homography:
+        from ..geometry.ransac import ransac_homography
 
-    @jax.jit
-    def run(variables, img_o, img_t):
+    @partial(jax.jit, static_argnames=())
+    def run(variables, img_o, img_t, rng=None):
         pred_o = module.apply(variables, img_o, "optical")
         pred_t = module.apply(variables, img_t, "thermal")
 
@@ -50,7 +57,25 @@ def make_pair_pipeline(module, image_shape, k=1024, nms_size=8,
                         cross_check=cross_check)
         idx2, dist, matched = jax.vmap(match)(d_o, d_t, m_o, m_t)
 
+        extra = {}
+        if estimate_homography:
+            keys = jax.random.split(
+                rng if rng is not None else jax.random.PRNGKey(0),
+                kps_o.shape[0])
+            # matched point pairs in (x, y): query kp -> its NN in thermal
+            p1 = jnp.flip(kps_o.astype(jnp.float32), -1)
+            p2 = jnp.flip(jnp.take_along_axis(
+                kps_t.astype(jnp.float32), idx2[..., None], axis=1), -1)
+            out_r = jax.vmap(partial(ransac_homography,
+                                     threshold=ransac_threshold,
+                                     n_iters=ransac_iters))(
+                p1, p2, matched, keys)
+            extra = {"H_est": out_r["H"], "ransac_inliers": out_r["inliers"],
+                     "ransac_score": out_r["score"],
+                     "ransac_n_inliers": out_r["n_inliers"]}
+
         return {
+            **extra,
             "prob_optical": prob_o, "prob_thermal": prob_t,
             "keypoints_optical": kps_o, "keypoints_thermal": kps_t,
             "scores_optical": sc_o, "scores_thermal": sc_t,

@@ -1,0 +1,121 @@
+"""On-device homography estimation: batched normalized DLT + RANSAC with
+MAGSAC-style truncated scoring.
+
+The reference estimates homographies host-side with cv2 USAC_MAGSAC
+(evaluation.py:371-380), forcing a device->host round trip per pair. This
+module keeps the whole registration chain on the TPU: all RANSAC hypotheses
+are fitted in one batched SVD (vmapped 8x9 DLT systems) and scored against
+all matches with one matrix op. cv2 remains the parity path for metrics
+(eval/metrics.estimate_homography); this is the production/perf path,
+exposed through make_pair_pipeline(estimate_homography=True).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _normalization(pts, mask):
+    """Hartley normalization: similarity transform -> centroid 0, mean
+    distance sqrt(2). pts (N, 2) xy, mask (N,). Returns (T (3,3), pts_n)."""
+    w = mask.astype(jnp.float32)
+    n = jnp.maximum(w.sum(), 1.0)
+    mean = (pts * w[:, None]).sum(0) / n
+    d = jnp.sqrt(((pts - mean) ** 2).sum(-1)) * w
+    scale = jnp.sqrt(2.0) / jnp.maximum(d.sum() / n, 1e-8)
+    T = jnp.array([[1.0, 0.0, -mean[0]],
+                   [0.0, 1.0, -mean[1]],
+                   [0.0, 0.0, 1.0 / scale]]) * scale
+    pts_n = (pts - mean) * scale
+    return T, pts_n
+
+
+def fit_homography_dlt(pts1, pts2, weights=None):
+    """Weighted DLT from (N, 2) xy correspondences. Returns (3, 3) H with
+    H @ [x1, y1, 1]^T ~ [x2, y2, 1]^T. Degenerate sets give garbage H that
+    simply scores zero inliers downstream."""
+    N = pts1.shape[0]
+    if weights is None:
+        weights = jnp.ones((N,), jnp.float32)
+    x1, y1 = pts1[:, 0], pts1[:, 1]
+    x2, y2 = pts2[:, 0], pts2[:, 1]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    r1 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], -1)
+    r2 = jnp.stack([z, z, z, x1, y1, o, -y2 * x1, -y2 * y1, -y2], -1)
+    A = jnp.concatenate([r1, r2], 0) * jnp.concatenate(
+        [weights, weights], 0)[:, None]
+    # h = right singular vector of the smallest singular value
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    h = vt[-1]
+    return h.reshape(3, 3)
+
+
+def _reproj_error(H, pts1, pts2):
+    """Symmetric-free forward transfer error |H p1 - p2| (cv2 semantics)."""
+    ones = jnp.ones((pts1.shape[0], 1), pts1.dtype)
+    p = jnp.concatenate([pts1, ones], -1) @ H.T
+    proj = p[:, :2] / jnp.where(jnp.abs(p[:, 2:]) < 1e-12, 1e-12, p[:, 2:])
+    return jnp.sqrt(((proj - pts2) ** 2).sum(-1))
+
+
+@partial(jax.jit, static_argnames=("n_iters", "refine"))
+def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
+                      refine=True):
+    """Batched RANSAC homography.
+
+    Args:
+        pts1/pts2: (N, 2) xy matched points (padded).
+        mask: (N,) validity of each match.
+        rng: jax PRNG key.
+        threshold: inlier reprojection threshold (px).
+        n_iters: hypotheses, all fitted/scored in parallel.
+        refine: re-fit on the best hypothesis' inliers (truncated-weighted
+            least squares, one MAGSAC-flavored refinement).
+
+    Returns dict(H (3,3), inliers (N,) bool, score (), n_inliers ()).
+    """
+    N = pts1.shape[0]
+    pts1 = pts1.astype(jnp.float32)
+    pts2 = pts2.astype(jnp.float32)
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+
+    # sample 4 distinct indices per hypothesis via Gumbel top-k
+    g = jax.random.gumbel(rng, (n_iters, N)) + logits[None]
+    _, sel = jax.lax.top_k(g, 4)                        # (n_iters, 4)
+
+    def fit_one(idx):
+        return fit_homography_dlt(pts1[idx], pts2[idx])
+
+    Hs = jax.vmap(fit_one)(sel)                         # (n_iters, 3, 3)
+    errs = jax.vmap(lambda H: _reproj_error(H, pts1, pts2))(Hs)
+    valid = mask[None, :]
+    # MAGSAC-style truncated quadratic score
+    scores = jnp.where(valid & (errs < threshold),
+                       1.0 - (errs / threshold) ** 2, 0.0).sum(-1)
+    best = jnp.argmax(scores)
+    H_best = Hs[best]
+
+    if refine:
+        err = _reproj_error(H_best, pts1, pts2)
+        w = jnp.where(mask & (err < threshold),
+                      1.0 - (err / threshold) ** 2, 0.0)
+        T1, p1n = _normalization(pts1, w > 0)
+        T2, p2n = _normalization(pts2, w > 0)
+        Hn = fit_homography_dlt(p1n, p2n, w)
+        H_ref = jnp.linalg.inv(T2) @ Hn @ T1
+        # keep the refinement only if it scores at least as well
+        err_ref = _reproj_error(H_ref, pts1, pts2)
+        score_ref = jnp.where(mask & (err_ref < threshold),
+                              1.0 - (err_ref / threshold) ** 2, 0.0).sum()
+        use_ref = score_ref >= scores[best]
+        H_best = jnp.where(use_ref, H_ref, H_best)
+
+    err = _reproj_error(H_best, pts1, pts2)
+    inliers = mask & (err < threshold)
+    H_best = H_best / jnp.where(jnp.abs(H_best[2, 2]) < 1e-12, 1e-12,
+                                H_best[2, 2])
+    return {"H": H_best, "inliers": inliers,
+            "score": jnp.where(mask & (err < threshold),
+                               1.0 - (err / threshold) ** 2, 0.0).sum(),
+            "n_inliers": inliers.sum()}

@@ -6,6 +6,7 @@ average pool, FC -> 8-vector of corner displacements.
 """
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -32,6 +33,21 @@ class RegNet(nn.Module):
 
         x1 = backbone(x1)
         x2 = backbone(x2)
+
+        # The reference hardcodes fc1 to 256 = (256/8/2)^2 inputs, i.e. it
+        # only works for 256x256 images. Adaptive-average-pool the encoder
+        # features to 16x16 first — a no-op at the production resolution,
+        # resolution-independent everywhere else.
+        def to_16(x):
+            N, H, W, C = x.shape
+            if H == 16 and W == 16:
+                return x
+            if H % 16 == 0 and W % 16 == 0:     # exact block average
+                return x.reshape(N, 16, H // 16, 16, W // 16, C).mean(axis=(2, 4))
+            return jax.image.resize(x, (N, 16, 16, C), method="linear")
+
+        x1 = to_16(x1)
+        x2 = to_16(x2)
 
         # cost volume (RegNet.py:44-53): normalize over channels, bmm
         def l2norm(x):

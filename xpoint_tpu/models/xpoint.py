@@ -210,7 +210,19 @@ def build_xpoint(config=None, dtype=None, scan_backend=None):
     if ua.get('check'):
         if ua.get('type') == 'VMamba':
             encoder_type = "vmamba"
-            vssm = (ua.get('model_parameters', {}) or {}).get('MODEL', {})
+            # reference get_config (MYCONFIG.py:307-314): the pretrained
+            # encoder's YAML is the base, inline model_parameters override
+            base_model = {}
+            pre = ua.get('pretrained', {}) or {}
+            yaml_file = pre.get('yaml_file')
+            if pre.get('check') and yaml_file:
+                import os as _os
+                if _os.path.exists(yaml_file):
+                    from ..config import load_yaml as _load_yaml
+                    base_model = (_load_yaml(yaml_file) or {}).get('MODEL', {})
+            vssm = dict_update(copy.deepcopy(base_model),
+                               (ua.get('model_parameters', {}) or {})
+                               .get('MODEL', {}))
             merged = dict(vssm.get('VSSM', {}))
             merged['DROP_PATH_RATE'] = vssm.get('DROP_PATH_RATE', 0.2)
             encoder_cfg = tuple(sorted(

@@ -264,8 +264,10 @@ def _fused_bkld_fwd(*args):
 
 
 def _fused_bkld_bwd(res, g):
+    # the fused forward emits the input dtype (oflex); the unfused reference
+    # computes in fp32 — align the cotangent dtype before pulling back
     _, vjp = jax.vjp(_unfused_bkld_ref, *res)
-    return vjp(g)
+    return vjp(g.astype(jnp.float32))
 
 
 selective_scan_fused_bkld.defvjp(_fused_bkld_fwd, _fused_bkld_bwd)
@@ -285,7 +287,7 @@ def _fused_bwd(res, g):
     # gradient through the unfused composition (linear_scan has its own vjp);
     # must NOT re-enter the fused dispatch or the vjp would recurse
     _, vjp = jax.vjp(lambda *a: _selective_scan_unfused(*a, True), *res)
-    return vjp(g)
+    return vjp(g.astype(jnp.float32))
 
 
 selective_scan_fused.defvjp(_fused_fwd, _fused_bwd)
