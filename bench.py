@@ -41,6 +41,17 @@ def main():
     jax.block_until_ready(out)
     print(f"# compile+first run: {time.time()-t0:.1f}s", flush=True)
 
+    # optional profiler trace (XPOINT_PROFILE_DIR=/path): captures a few
+    # pipelined iterations for xprof/tensorboard analysis
+    import os
+    profile_dir = os.environ.get("XPOINT_PROFILE_DIR")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            for _ in range(3):
+                out = pipeline(variables, img_o, img_t)
+            np.asarray(out["match_dist"])
+        print(f"# profiler trace written to {profile_dir}", flush=True)
+
     # Measurement notes (see .claude/skills/verify/SKILL.md):
     #  * block_until_ready is NOT an execution fence under the axon tunnel —
     #    only a device->host fetch is;

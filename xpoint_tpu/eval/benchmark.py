@@ -222,3 +222,25 @@ def compute_metrics(infer, dataloader, config,
                 for tw in threshold_warp},
         }
     return results
+
+
+def model_cost(module, variables, image_shape, batch=1):
+    """Compiled-cost analysis of one pair forward (replaces the reference's
+    fvcore FLOP counting with a custom selective-scan handler,
+    VMamba.py:1527-1548 — XLA's cost model covers the Pallas kernels via
+    their CostEstimate)."""
+    import jax
+    import jax.numpy as jnp
+
+    def fwd(v, a, b):
+        return module.apply(v, a, b, method=module.forward_pair)
+
+    img = jnp.zeros((batch,) + tuple(image_shape) + (1,), jnp.float32)
+    compiled = jax.jit(fwd).lower(variables, img, img).compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):
+        costs = costs[0]
+    return {"flops": costs.get("flops"),
+            "bytes_accessed": costs.get("bytes accessed"),
+            "cost_analysis": {k: v for k, v in costs.items()
+                              if isinstance(v, (int, float))}}
