@@ -20,7 +20,7 @@ from ..ops.matching import (mnn_match, knn2_match, threshold_match,
 
 
 class XPointInference:
-    def __init__(self, module, variables, prediction_config=None, max_kp=2048):
+    def __init__(self, module, variables, prediction_config=None, max_kp=4096):
         self.module = module
         self.variables = variables
         self.cfg = dict({'nms': 8, 'detection_threshold': 0.015, 'topk': 0,
@@ -125,6 +125,9 @@ class XPointInference:
         n = len(keypoints)
         k = self.max_kp
         if n > k:
+            import warnings
+            warnings.warn(f"truncating {n} keypoints to max_kp={k}; raise "
+                          f"XPointInference(max_kp=...) for exact parity")
             keypoints = keypoints[:k]
             n = k
         kps = np.zeros((k, 2), np.float32)
