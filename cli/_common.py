@@ -27,7 +27,14 @@ def load_eval_setup(args, single_image_override=None):
     if getattr(args, "yaml_variable", None):
         dict_update(config, load_yaml(args.yaml_variable))
 
-    module, variables, model_cfg = load_model(args.model_dir, args.version)
+    # reference disables the homography head at eval time when the config
+    # asks for it (benchmark.py:50-76, cipdp.yaml 'disable_hmhead')
+    override = None
+    if (config.get("prediction", {}) or {}).get("disable_hmhead"):
+        override = {"homography_regression_head": {"check": False}}
+
+    module, variables, model_cfg = load_model(args.model_dir, args.version,
+                                              model_override=override)
     config["model"] = model_cfg
 
     if single_image_override is not None:

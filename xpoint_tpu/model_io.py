@@ -18,10 +18,16 @@ from .config import load_yaml
 from .models import build_xpoint
 
 
-def load_model(model_dir, version="latest", config=None, scan_backend=None):
-    """Returns (module, variables, merged_config)."""
+def load_model(model_dir, version="latest", config=None, scan_backend=None,
+               model_override=None):
+    """Returns (module, variables, merged_config). model_override deep-merges
+    over the stored model config (e.g. disabling the hm head at eval)."""
     params = load_yaml(os.path.join(model_dir, "params.yaml"))
     model_cfg = params["model"]
+    if model_override:
+        from .utils import dict_update
+        import copy as _copy
+        model_cfg = dict_update(_copy.deepcopy(model_cfg), model_override)
     if config is not None:
         config = dict(config)
         config["model"] = model_cfg
