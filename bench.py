@@ -71,18 +71,19 @@ def main():
     # single-shot latency (one batch, fenced)
     np.asarray(pipeline(variables, *inputs[0])["match_dist"])   # drain
     lat = []
-    for a, b in inputs[1:5]:
+    for a, b in inputs[1:1 + n_lat]:
         t0 = time.time()
         out = pipeline(variables, a, b)
         np.asarray(out["match_dist"])
         lat.append(time.time() - t0)
     latency = float(np.median(lat))
 
-    # pipelined throughput (the production number)
+    # pipelined throughput (the production number) on FRESH inputs only
+    stream = inputs[1 + n_lat:]
     t0 = time.time()
-    outs = [pipeline(variables, a, b) for a, b in inputs]
+    outs = [pipeline(variables, a, b) for a, b in stream]
     np.asarray(outs[-1]["match_dist"])       # fence the whole stream
-    dt = (time.time() - t0) / n_iters
+    dt = (time.time() - t0) / len(stream)
     pairs_per_sec = B / dt
     print(f"# single-shot latency: {latency*1000:.1f} ms/batch of {B} pairs",
           flush=True)

@@ -22,7 +22,9 @@ def main():
     parser.add_argument('-o', '--output_file', required=True)
     parser.add_argument('-m', '--model-dir', default='model_weights/xpoint')
     parser.add_argument('-v', '--version', default='latest')
-    parser.add_argument('-snms', '--single-nms', action='store_true')
+    parser.add_argument('-snms', '--single-nms', action='store_true',
+                        help='Accepted for reference-CLI compatibility; NMS '
+                             'always runs per-sample in this implementation')
     parser.add_argument('-skip', dest='skip_processed', action='store_true')
     parser.add_argument('-f', '--frequency', default=1, type=int,
                         help='Backup the output HDF5 every f batches')

@@ -61,6 +61,7 @@ class DataLoader:
 
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error = []
 
         def worker():
             try:
@@ -68,6 +69,8 @@ class DataLoader:
                     if stop.is_set():
                         break
                     q.put(collate([self.dataset[int(i)] for i in b]))
+            except BaseException as e:          # propagate to the consumer
+                error.append(e)
             finally:
                 q.put(None)
 
@@ -77,6 +80,8 @@ class DataLoader:
             while True:
                 batch = q.get()
                 if batch is None:
+                    if error:
+                        raise error[0]
                     break
                 yield batch
         finally:

@@ -148,8 +148,11 @@ def compute_metrics(infer, dataloader, config,
             # ---- descriptor metrics over keypoint thresholds ----
             do = infer.descriptors_at(kp_o, desc_o[i], image_shape)
             dt = infer.descriptors_at(kp_t, desc_t[i], image_shape)
-            matches_o = sorted(infer.match(do, dt), key=lambda m: m[2])
-            matches_t = sorted(infer.match(dt, do), key=lambda m: m[2])
+            matches_o = sorted(infer.match_crosscheck(do, dt),
+                               key=lambda m: m[2])
+            matches_t = sorted(infer.match_crosscheck(dt, do),
+                               key=lambda m: m[2])
+            matches_ransac = infer.match(do, dt)
 
             gt_H = H_t[i] @ np.linalg.inv(H_o[i])
             w_o = warp_keypoints(kp_o.astype(np.float64), gt_H, float)
@@ -185,8 +188,8 @@ def compute_metrics(infer, dataloader, config,
                 acc['m_score_thermal'].append(nm_t / N_t_in if N_t_in else 0.0)
 
             # ---- homography over ransac thresholds ----
-            pts_o = np.float32([kp_o[q][::-1] for q, t, d in matches_o])
-            pts_t = np.float32([kp_t[t][::-1] for q, t, d in matches_o])
+            pts_o = np.float32([kp_o[q][::-1] for q, t, d in matches_ransac])
+            pts_t = np.float32([kp_t[t][::-1] for q, t, d in matches_ransac])
             for th in threshold_ransac:
                 H_est, _ = estimate_homography(pts_o, pts_t, th)
                 pts_dist_acc[th].append(

@@ -90,11 +90,13 @@ def compute_descriptor_metrics(infer, dataloader, config,
             kp_t = infer.keypoints_from_prob(prob_t[i])
             d_o = infer.descriptors_at(kp_o, desc_o[i], image_shape)
             d_t = infer.descriptors_at(kp_t, desc_t[i], image_shape)
-            matches_optical = infer.match(d_o, d_t)
-            matches_thermal = infer.match(d_t, d_o)
+            matches_optical = infer.match_crosscheck(d_o, d_t)
+            matches_thermal = infer.match_crosscheck(d_t, d_o)
+            # homography estimation uses the CONFIGURED matcher (ref :351-357)
+            matches_ransac = infer.match(d_o, d_t)
             samples.append(descriptor_metrics_sample(
                 kp_o, d_o, kp_t, d_t, H_o[i], H_t[i], image_shape,
                 threshold_keypoints, matches_optical, matches_thermal,
-                matches_ransac=matches_optical,
+                matches_ransac=matches_ransac,
                 reprojection_threshold=config.get('reprojection_threshold', 3)))
     return aggregate_descriptor_metrics(samples, threshold_warp)

@@ -92,6 +92,11 @@ class XPointInference:
                                  cross_check=cross)
         self._match = _match
 
+        @jax.jit
+        def _match_pr(d1, d2, m1, m2):
+            return mnn_match(d1, d2, m1, m2, cross_check=True)
+        self._match_pr = _match_pr
+
     def takes_pair(self):
         return True
 
@@ -138,9 +143,19 @@ class XPointInference:
                          jnp.asarray(desc_map), tuple(image_shape))
         return np.asarray(d)[:n]
 
+    def match_crosscheck(self, desc1, desc2):
+        """Always cross-checked MNN (the reference hard-codes BFMatcher
+        crossCheck=True for the NN-mAP/M-score matches, evaluation.py:286-301,
+        independent of the configured matcher)."""
+        return self._match_host(desc1, desc2, self._match_pr, False)
+
     def match(self, desc1, desc2):
-        """Cross-checked MNN matches as (query, train, distance) tuples —
-        cv2.BFMatcher(NORM_L2, crossCheck=True) equivalence."""
+        """Config-selected matcher (used for homography estimation like the
+        reference, evaluation.py:351-357)."""
+        return self._match_host(desc1, desc2, self._match,
+                                self._threshold_mode)
+
+    def _match_host(self, desc1, desc2, fn, threshold_mode):
         n1, n2 = len(desc1), len(desc2)
         if n1 == 0 or n2 == 0:
             return []
@@ -154,9 +169,9 @@ class XPointInference:
         m2 = np.zeros((k,), bool)
         m1[:n1] = True
         m2[:n2] = True
-        out = self._match(jnp.asarray(d1), jnp.asarray(d2),
-                          jnp.asarray(m1), jnp.asarray(m2))
-        if self._threshold_mode:
+        out = fn(jnp.asarray(d1), jnp.asarray(d2),
+                 jnp.asarray(m1), jnp.asarray(m2))
+        if threshold_mode:
             match_mat, dmat = np.asarray(out[0]), np.asarray(out[1])
             ii, jj = np.nonzero(match_mat[:n1, :n2])
             return [(int(i), int(j), float(dmat[i, j]))

@@ -48,10 +48,6 @@ def load_model(model_dir, version="latest", config=None, scan_backend=None,
         torch_path = os.path.join(model_dir, f"{version}.model")
         if os.path.exists(ckpt_path):
             import orbax.checkpoint as ocp
-            template = {"params": jax.device_get(variables["params"]),
-                        "batch_stats": jax.device_get(
-                            variables.get("batch_stats", {})),
-                        "opt_state": None, "step": 0, "epoch": 0}
             with ocp.PyTreeCheckpointer() as cp:
                 restored = cp.restore(os.path.abspath(ckpt_path))
             variables = {"params": restored["params"]}

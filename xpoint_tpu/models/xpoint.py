@@ -166,10 +166,22 @@ class XPointNet(nn.Module):
         return pred_o
 
     def forward_pair(self, optical_image, thermal_image, train=False,
-                     optical_not_warped=None):
-        """takes_pair forward (XPoint.py:186-214)."""
-        pred_o = self.forward_impl(optical_image, "optical", train=train)
-        pred_t = self.forward_impl(thermal_image, "thermal", train=train)
+                     optical_not_warped=None, is_optical_o=None,
+                     is_optical_t=None):
+        """takes_pair forward (XPoint.py:186-214). With multispectral
+        encoders and random_pairs spectrum shuffling, per-sample
+        is_optical_o/is_optical_t masks route each sample through the right
+        encoder (reference XPoint.py:283-305)."""
+        if self.multispectral and is_optical_o is not None:
+            pred_o = self.forward_impl(optical_image, "mixed",
+                                       is_optical_o, train=train)
+        else:
+            pred_o = self.forward_impl(optical_image, "optical", train=train)
+        if self.multispectral and is_optical_t is not None:
+            pred_t = self.forward_impl(thermal_image, "mixed",
+                                       is_optical_t, train=train)
+        else:
+            pred_t = self.forward_impl(thermal_image, "thermal", train=train)
         pred_hm = None
         if self.hm_head == "RegNet":
             pred_hm = self.hm_regressor(pred_o["encoder_output"],
@@ -179,7 +191,12 @@ class XPointNet(nn.Module):
             # the warped one (XPoint.py:194-208)
             mo = pred_o["encoder_output"].mean(axis=-1, keepdims=True)
             mt = pred_t["encoder_output"].mean(axis=-1, keepdims=True)
-            sel = optical_not_warped.reshape(-1, 1, 1, 1)
+            if optical_not_warped is None:
+                # default: the optical image is the unwarped one (reference
+                # ordering when data['optical']['homography'] == I)
+                sel = jnp.ones((mo.shape[0], 1, 1, 1), bool)
+            else:
+                sel = optical_not_warped.reshape(-1, 1, 1, 1)
             first = jnp.where(sel, mo, mt)
             second = jnp.where(sel, mt, mo)
             pred_hm = self.hm_regressor(
@@ -215,8 +232,17 @@ def build_xpoint(config=None, dtype=None, scan_backend=None):
             base_model = {}
             pre = ua.get('pretrained', {}) or {}
             yaml_file = pre.get('yaml_file')
+            import os as _os
+            if pre.get('check') and not yaml_file:
+                # reference falls back to the first .yaml in type_dir
+                # (train.py:33-36, XPoint.py:443-445)
+                tdir = pre.get('type_dir')
+                if tdir and _os.path.isdir(tdir):
+                    yamls = sorted(f for f in _os.listdir(tdir)
+                                   if f.endswith('.yaml'))
+                    if yamls:
+                        yaml_file = _os.path.join(tdir, yamls[0])
             if pre.get('check') and yaml_file:
-                import os as _os
                 if _os.path.exists(yaml_file):
                     from ..config import load_yaml as _load_yaml
                     base_model = (_load_yaml(yaml_file) or {}).get('MODEL', {})

@@ -29,7 +29,11 @@ from .parallel import (make_mesh, shard_batch, replicate, make_train_step,
 from . import checkpoints as ckpt
 
 
-def make_optimizer(training_cfg):
+def make_optimizer(training_cfg, steps_per_epoch=1):
+    """Adam (+ optional per-EPOCH StepLR/ExponentialLR decay, matching the
+    reference's scheduler.step() once per epoch, train.py:316-317) and
+    torch-style L2 weight decay (grad += wd * param before the Adam
+    moments — NOT decoupled AdamW)."""
     lr = float(training_cfg.get('learningrate', 1e-4))
     sched_cfg = training_cfg.get('scheduler', {}) or {}
     schedule = lr
@@ -37,16 +41,21 @@ def make_optimizer(training_cfg):
         stype = sched_cfg.get('type', 'ExponentialLR')
         gamma = float(sched_cfg.get('gamma', 0.9))
         step_size = int(sched_cfg.get('step_size', 1))
+        epochs = max(int(steps_per_epoch), 1)
         if stype == 'StepLR':
-            schedule = optax.exponential_decay(lr, step_size, gamma,
+            schedule = optax.exponential_decay(lr, step_size * epochs, gamma,
                                                staircase=True)
         elif stype == 'ExponentialLR':
-            schedule = optax.exponential_decay(lr, 1, gamma, staircase=True)
+            schedule = optax.exponential_decay(lr, epochs, gamma,
+                                               staircase=True)
         else:
             raise ValueError(f"unknown scheduler {stype}")
     wd = float(training_cfg.get('weight_decay', 0) or 0)
     if wd > 0:
-        return optax.adamw(schedule, weight_decay=wd), schedule
+        tx = optax.chain(optax.add_decayed_weights(wd),
+                         optax.scale_by_adam(),
+                         optax.scale_by_learning_rate(schedule))
+        return tx, schedule
     return optax.adam(schedule), schedule
 
 
@@ -58,6 +67,8 @@ def batch_to_device_pair(batch):
                'homography': np.asarray(d['homography'], np.float32)}
         if 'keypoints' in d:
             out['keypoints'] = np.asarray(d['keypoints'], np.float32)
+        if 'is_optical' in d:
+            out['is_optical'] = np.asarray(d['is_optical'], bool)
         return out
     out = {'optical': side(batch['optical']), 'thermal': side(batch['thermal'])}
     if 'hfour_points' in batch:
@@ -95,7 +106,7 @@ class Trainer:
         self.loss_fn = XPointLoss(loss_cfg)
 
         self.mesh = make_mesh(n_devices)
-        self.tx, self.schedule = make_optimizer(tcfg)
+        self.tx, self.schedule = make_optimizer(tcfg, len(self.loader))
         self.rng = jax.random.PRNGKey(seed)
 
         # init params with a sample batch shape
