@@ -62,9 +62,12 @@ def main():
     #    fence once at the end (single-device programs execute in dispatch
     #    order), amortizing the round trip away.
     n_iters = 12
+    n_lat = 4
+    # +1 drain, +n_lat latency probes, +n_iters pipelined — all DISTINCT
+    # (already-executed inputs would be served from the runtime cache)
     inputs = [(jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32)),
                jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32)))
-              for _ in range(n_iters)]
+              for _ in range(1 + n_lat + n_iters)]
     for a, b in inputs:                      # force input transfers now
         np.asarray(jnp.sum(a) + jnp.sum(b))
 
