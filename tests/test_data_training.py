@@ -150,3 +150,26 @@ def test_sat_thermal_dataset(tmp_path):
     assert s['optical']['image'].shape == (64, 64, 1)
     assert 0.0 <= s['optical']['image'].max() <= 1.0
     assert s['name'] == 's0'
+
+
+def test_validation_loss_logging(tmp_path):
+    """Trainer computes validation loss when configured (reference
+    train.py:57-62, 267-296)."""
+    from xpoint_tpu.trainer import Trainer
+    config = {
+        'dataset': dict(SYNTH_CFG, type='SyntheticShapes', length=4),
+        'model': {'type': 'XPoint', 'multispectral': False,
+                  'descriptor_head': False, 'channel_version': 2,
+                  'homography_regression_head': {'check': False}},
+        'loss': {'type': 'XPointLoss', 'detector_loss': True,
+                 'descriptor_loss': False,
+                 'detector_loss_function': 'cross_entropy',
+                 'detector_handle_multiple_keypoints': 'soft_assignment'},
+        'training': {'batchsize': 2, 'learningrate': 1e-3, 'n_epochs': 1,
+                     'save_every_n_epoch': 0, 'use_writer': False,
+                     'validation': {'compute_validation_loss': True,
+                                    'every_nth_epoch': 1}},
+    }
+    trainer = Trainer(config, str(tmp_path / "run"), n_devices=2)
+    assert trainer.val_loader is not None
+    trainer.train(n_epochs=1, max_steps_per_epoch=1)

@@ -169,3 +169,52 @@ def test_pretrained_encoder_bootstrap(tmp_path):
     ref_w = ref.state_dict()["encoder.patch_embed.0.weight"].numpy()
     got = np.asarray(new_vars["params"]["encoder"]["patch_embed_conv1"]["kernel"])
     np.testing.assert_allclose(got, ref_w.transpose(2, 3, 1, 0), atol=1e-6)
+
+
+def test_vmamba_cascade2d_parity(tmp_path):
+    """cascade2d (v052dc) forward-type parity vs the reference."""
+    XPointRef = get_reference()
+    vssm_params = {
+        "DATA": {"IMG_SIZE": 512},
+        "MODEL": {"DROP_PATH_RATE": 0.2,
+                  "VSSM": {"DEPTHS": [1, 1, 1, 1], "EMBED_DIM": 32,
+                           "MLP_RATIO": 4.0, "PATCHEMBED": "v2",
+                           "DOWNSAMPLE": "v3", "SSM_CONV": 3,
+                           "SSM_CONV_BIAS": False, "SSM_DT_RANK": "auto",
+                           "SSM_D_STATE": 2,
+                           "SSM_FORWARDTYPE": "v052dc_noz",
+                           "SSM_RATIO": 2.0}}}
+    yaml_file = tmp_path / "v.yaml"
+    yaml_file.write_text("MODEL:\n  TYPE: vssm\n")
+    cfg = {"multispectral": False,
+           "homography_regression_head": {"check": False},
+           "use_attention": {"check": True, "type": "VMamba",
+                             "height": 32, "width": 32,
+                             "model_parameters": vssm_params,
+                             "pretrained": {"check": True,
+                                            "yaml_file": str(yaml_file)}}}
+    ref = XPointRef(dict(cfg))
+    ref.eval()
+    module, mcfg = build_xpoint(cfg)
+    variables = convert_torch_state_dict(ref.state_dict(), module, mcfg)
+
+    rng = np.random.default_rng(5)
+    img = rng.uniform(size=(1, 1, 32, 32)).astype(np.float32)
+    # the reference cascade2d path crashes on a non-contiguous .view
+    # (VMamba.py:643); substitute reshape (identical semantics) to run it
+    orig_view = torch.Tensor.view
+
+    def safe_view(self, *args):
+        try:
+            return orig_view(self, *args)
+        except RuntimeError:
+            return self.reshape(*args)
+
+    torch.Tensor.view = safe_view
+    try:
+        with torch.no_grad():
+            out_ref = ref.forward_impl({"image": torch.from_numpy(img)})
+    finally:
+        torch.Tensor.view = orig_view
+    prob, _ = _forward_jax(module, variables, img)
+    np.testing.assert_allclose(prob, out_ref["prob"][:, 0].numpy(), atol=1e-3)

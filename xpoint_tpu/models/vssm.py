@@ -130,9 +130,6 @@ class SS2D(nn.Module):
                          name="conv2d")(xs)
         xs = nn.silu(xs)
 
-        # ---- core: cross-scan -> projections -> selective scan -> merge ----
-        xk = cross_scan(xs, self.scan_mode)                       # (B, K, L, D)
-
         x_proj_w = self.param("x_proj_weight", _trunc_normal(),
                               (K, R + 2 * N, D), jnp.float32)
         dt_w = self.param("dt_projs_weight",
@@ -144,27 +141,71 @@ class SS2D(nn.Module):
         A_logs = self.param("A_logs", _a_log_init, (K * D, N), jnp.float32)
         Ds = self.param("Ds", nn.initializers.ones, (K * D,), jnp.float32)
 
-        x_dbl = jnp.einsum("bkld,kcd->bklc", xk, x_proj_w.astype(xk.dtype))
-        dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
-        dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w_c.astype(dts.dtype))
+        if self.scan_mode == -1:
+            # cascade2d (v052dc, VMamba.py:525-600): rows scanned bi-
+            # directionally with params [:2], parameter-free layernorm, then
+            # columns with params [2:]
+            def plain_ln(v):
+                m = v.mean(-1, keepdims=True)
+                var = ((v - m) ** 2).mean(-1, keepdims=True)
+                return ((v - m) * jax.lax.rsqrt(var + 1e-5)).astype(v.dtype)
 
-        if self.scan_backend == "pallas" and N == 1:
-            # fast path: feed the kernel in the natural (B, K, L, D) layout
-            from ..ops.selective_scan_pallas import selective_scan_fused_bkld
-            ys = selective_scan_fused_bkld(
-                xk, dts, -jnp.exp(A_logs.reshape(-1)), Bs, Cs, Ds,
-                dt_bias.reshape(-1))
+            def scan_axis(v, k0, along_w):
+                # v: (B, H, W, D); scan along W (rows) or H (cols)
+                seq = v if along_w else v.transpose(0, 2, 1, 3)
+                Bb, S, Ln, _ = seq.shape           # (B, n_seq, L, D)
+                seq = seq.reshape(Bb * S, Ln, D)
+                xk2 = jnp.stack([seq, jnp.flip(seq, 1)], 1)  # (BS, 2, L, D)
+                w2 = x_proj_w[k0:k0 + 2].astype(xk2.dtype)
+                x_dbl = jnp.einsum("bkld,kcd->bklc", xk2, w2)
+                dts, Bs2, Cs2 = jnp.split(x_dbl, [R, R + N], axis=-1)
+                dts = jnp.einsum("bklr,kdr->bkld", dts,
+                                 dt_w_c[k0:k0 + 2].astype(dts.dtype))
+                u = xk2.transpose(0, 1, 3, 2).reshape(Bb * S, 2 * D, Ln)
+                dtc = dts.transpose(0, 1, 3, 2).reshape(Bb * S, 2 * D, Ln)
+                A2 = -jnp.exp(A_logs.reshape(K, D, N)[k0:k0 + 2].reshape(-1, N))
+                ys = selective_scan(
+                    u, dtc, A2, Bs2.transpose(0, 1, 3, 2),
+                    Cs2.transpose(0, 1, 3, 2),
+                    Ds.reshape(K, D)[k0:k0 + 2].reshape(-1),
+                    dt_bias[k0:k0 + 2].reshape(-1), True,
+                    backend=("assoc" if self.scan_backend == "pallas" and N > 1
+                             else self.scan_backend))
+                ys = ys.reshape(Bb * S, 2, D, Ln)
+                # NOTE: the reference sums the two directions WITHOUT
+                # un-reversing the flipped one (VMamba.py:588,599) — kept
+                # verbatim for checkpoint parity
+                merged = ys[:, 0] + ys[:, 1]                 # (BS, D, L)
+                merged = merged.transpose(0, 2, 1).reshape(Bb, S, Ln, D)
+                return merged if along_w else merged.transpose(0, 2, 1, 3)
+
+            xs32 = plain_ln(xs.astype(jnp.float32)).astype(xs.dtype)
+            y_row = scan_axis(xs32, 0, True).astype(jnp.float32)
+            y_row = plain_ln(y_row).astype(xs.dtype)
+            y = scan_axis(y_row, 2, False)
         else:
-            # canonical scan layout (B, K*D, L)
-            u = xk.transpose(0, 1, 3, 2).reshape(B, K * D, L)
-            dt = dts.transpose(0, 1, 3, 2).reshape(B, K * D, L)
-            Bmat = Bs.transpose(0, 1, 3, 2)                        # (B, K, N, L)
-            Cmat = Cs.transpose(0, 1, 3, 2)
-            ys = selective_scan(u, dt, -jnp.exp(A_logs), Bmat, Cmat, Ds,
-                                dt_bias.reshape(-1), True,
-                                backend=self.scan_backend)
-            ys = ys.reshape(B, K, D, L).transpose(0, 1, 3, 2)      # (B, K, L, D)
-        y = cross_merge(ys, H, W, self.scan_mode)                  # (B, H, W, D)
+            xk = cross_scan(xs, self.scan_mode)               # (B, K, L, D)
+            x_dbl = jnp.einsum("bkld,kcd->bklc", xk, x_proj_w.astype(xk.dtype))
+            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+            dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w_c.astype(dts.dtype))
+
+            if self.scan_backend == "pallas" and N == 1:
+                # fast path: kernel fed in the natural (B, K, L, D) layout
+                from ..ops.selective_scan_pallas import selective_scan_fused_bkld
+                ys = selective_scan_fused_bkld(
+                    xk, dts, -jnp.exp(A_logs.reshape(-1)), Bs, Cs, Ds,
+                    dt_bias.reshape(-1))
+            else:
+                # canonical scan layout (B, K*D, L)
+                u = xk.transpose(0, 1, 3, 2).reshape(B, K * D, L)
+                dt = dts.transpose(0, 1, 3, 2).reshape(B, K * D, L)
+                Bmat = Bs.transpose(0, 1, 3, 2)                    # (B, K, N, L)
+                Cmat = Cs.transpose(0, 1, 3, 2)
+                ys = selective_scan(u, dt, -jnp.exp(A_logs), Bmat, Cmat, Ds,
+                                    dt_bias.reshape(-1), True,
+                                    backend=self.scan_backend)
+                ys = ys.reshape(B, K, D, L).transpose(0, 1, 3, 2)  # (B, K, L, D)
+            y = cross_merge(ys, H, W, self.scan_mode)              # (B, H, W, D)
 
         y = nn.LayerNorm(dtype=jnp.float32, name="out_norm")(y)
         y = y.astype(x.dtype)
@@ -376,9 +417,7 @@ def build_vssm_from_config(vssm_cfg, dtype=jnp.float32, scan_backend="assoc"):
     disable_z_act = "_nozact" in ftype
     out_act = "_oact" in ftype
     base = ftype.split("_")[0]
-    scan_mode = {"v051d": 1, "v052d": 2}.get(base, 0)
-    if base in ("v052dc",):
-        raise NotImplementedError("cascade2d forward type not supported")
+    scan_mode = {"v051d": 1, "v052d": 2, "v052dc": -1}.get(base, 0)
     use_m0 = base.startswith("m")
     if use_m0:
         # m0 keeps the gate unless _noz; reference defaults d_state=64

@@ -89,3 +89,27 @@ def make_train_step(module, loss_fn, takes_pair=True, donate=True):
         return state, comps
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(module, loss_fn, takes_pair=True):
+    """jit loss-only evaluation step (reference validation pass,
+    train.py:267-296): eval-mode forward (running BN stats, no dropout)."""
+
+    def step_fn(state, batch):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        rng = jax.random.PRNGKey(0)
+        if takes_pair:
+            pred_o, pred_t, pred_hm = module.apply(
+                variables, batch["optical"]["image"],
+                batch["thermal"]["image"], False,
+                method=module.forward_pair)
+            loss, comps = loss_fn(batch, pred_o, pred_t, pred_hm, rng)
+        else:
+            pred = module.apply(variables, batch["image"], "mixed",
+                                batch["is_optical"].reshape(-1), False)
+            loss, comps = loss_fn(batch, pred, None, None, rng)
+        return loss, comps
+
+    return jax.jit(step_fn)

@@ -99,6 +99,21 @@ class Trainer:
                                  seed=seed)
         self.takes_pair = self.dataset.returns_pair()
 
+        # validation set (reference train.py:57-62): same dataset type with
+        # overridden filename/keypoints
+        self.val_loader = None
+        vcfg = (tcfg.get('validation') or {})
+        self.val_every = int(vcfg.get('every_nth_epoch', 1) or 1)
+        if vcfg.get('compute_validation_loss'):
+            val_ds_cfg = dict(config['dataset'])
+            val_ds_cfg['filename'] = vcfg.get('filename',
+                                              val_ds_cfg.get('filename'))
+            if vcfg.get('keypoints'):
+                val_ds_cfg['keypoints_filename'] = vcfg['keypoints']
+            val_dataset = get_dataset(val_ds_cfg)
+            self.val_loader = DataLoader(val_dataset, self.batch_size,
+                                         shuffle=False, seed=seed)
+
         self.module, self.model_cfg = build_xpoint(config['model'])
 
         loss_cfg = dict(config.get('loss', {}))
@@ -125,6 +140,9 @@ class Trainer:
 
         self.train_step = make_train_step(self.module, self.loss_fn,
                                           takes_pair=self.takes_pair)
+        from .parallel.train_step import make_eval_step
+        self.eval_step = make_eval_step(self.module, self.loss_fn,
+                                        takes_pair=self.takes_pair)
 
         self.writer = None
         if tcfg.get('use_writer'):
@@ -201,6 +219,22 @@ class Trainer:
             mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float('nan')
             if self.writer:
                 self.writer.add_scalar('epoch/train_loss', mean_loss, epoch)
+
+            # validation loss (reference train.py:267-296)
+            if self.val_loader is not None and epoch % self.val_every == 0:
+                val_losses = []
+                for batch in self.val_loader:
+                    dev_batch = (batch_to_device_pair(batch) if self.takes_pair
+                                 else batch_to_device_single(batch))
+                    dev_batch = shard_batch(dev_batch, self.mesh)
+                    with self.mesh:
+                        vloss, _ = self.eval_step(self.state, dev_batch)
+                    val_losses.append(float(vloss))
+                val_mean = float(np.mean(val_losses)) if val_losses else float('nan')
+                if self.writer:
+                    self.writer.add_scalar('validation_loss', val_mean, epoch)
+                print(f"epoch {epoch}: validation loss {val_mean:.4f}",
+                      flush=True)
             print(f"epoch {epoch}: loss {mean_loss:.4f} "
                   f"({time.time()-t_epoch:.1f}s)", flush=True)
 
