@@ -73,9 +73,12 @@ def main():
             img_o = np.asarray(sample['optical']['image'])[None]
             img_t = np.asarray(sample['thermal']['image'])[None]
 
-            Hs, masks = sample_ha_homographies(merged_ha, img_o.shape[1:3], rng)
+            # masks are derived on device from the homographies: only
+            # (num-1) 3x3 matrices cross the host->device link per sample
+            Hs, _ = sample_ha_homographies(merged_ha, img_o.shape[1:3], rng,
+                                           with_masks=False)
             out = run_ha(jnp.asarray(img_o), jnp.asarray(img_t),
-                         jnp.asarray(Hs), jnp.asarray(masks))
+                         jnp.asarray(Hs))
 
             def extract(prob):
                 p = infer.nms(np.asarray(prob))

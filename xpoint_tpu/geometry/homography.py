@@ -185,6 +185,37 @@ def compute_valid_mask(image_shape, homography, erosion_radius=0, mask_border=Fa
     return mask
 
 
+def compute_valid_mask_device(homographies, image_shape, erosion_radius=0,
+                              mask_border=False):
+    """On-device batched compute_valid_mask: (n, 3, 3) -> (n, H, W) float32.
+
+    The warped all-ones mask is analytic — a bounds test on the inverse-
+    mapped sample coordinates, no gather — and erosion by the square
+    (2r+1)^2 kernel (homographies.py:529-558 uses np.ones) is a min-pool:
+    `reduce_window` with +inf init reproduces cv2.erode's default
+    don't-shrink border exactly. Keeping this in-graph avoids shipping
+    num x H x W mask planes to the device per sample.
+    """
+    import jax
+    from ..ops.warp import _source_coords
+
+    Hh, Ww = image_shape
+    ys, xs = _source_coords(homographies, Hh, Ww)
+    yi = jnp.round(ys)
+    xi = jnp.round(xs)
+    m = (yi >= 0) & (yi <= Hh - 1) & (xi >= 0) & (xi <= Ww - 1)
+    m = m.astype(jnp.float32).reshape(-1, Hh, Ww)
+    if erosion_radius > 0:
+        k = 2 * erosion_radius + 1
+        if mask_border:
+            m = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+        m = jax.lax.reduce_window(m, jnp.inf, jax.lax.min,
+                                  (1, k, k), (1, 1, 1), "SAME")
+        if mask_border:
+            m = m[:, 1:-1, 1:-1]
+    return m
+
+
 def warp_points(points, homography):
     """Batched (row, col) point warp on device.
 

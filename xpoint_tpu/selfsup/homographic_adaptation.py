@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import dict_update
-from ..geometry.homography import sample_homography, compute_valid_mask
-from ..ops.warp import warp_image_batch
+from ..geometry.homography import (sample_homography, compute_valid_mask,
+                                   compute_valid_mask_device)
+from ..ops.warp import warp_image_batch, warp_image_multi
 
 
 HA_DEFAULT_CONFIG = {
@@ -90,34 +91,49 @@ def _smooth(prob, size):
         dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
 
 
-def sample_ha_homographies(config, image_shape, rng=None):
-    """Host-side: stack of (num-1) homographies + eroded valid masks."""
+def sample_ha_homographies(config, image_shape, rng=None, with_masks=True):
+    """Host-side: stack of (num-1) homographies + eroded valid masks.
+
+    with_masks=False skips the cv2 mask computation and returns masks=None;
+    the jitted HA program then derives the masks on device
+    (compute_valid_mask_device) instead of shipping num x H x W planes
+    over the host->device link per sample.
+    """
     num = config['num']
     Hs, masks = [], []
     for _ in range(max(num - 1, 0)):
         H = sample_homography(np.array(image_shape), rng=rng,
                               **config['homographies'])
-        m = compute_valid_mask(tuple(image_shape), H,
-                               config['erosion_radius'], config['mask_border'])
         Hs.append(H.astype(np.float32))
-        masks.append(m.astype(np.float32))
+        if with_masks:
+            m = compute_valid_mask(tuple(image_shape), H,
+                                   config['erosion_radius'],
+                                   config['mask_border'])
+            masks.append(m.astype(np.float32))
     if not Hs:
         return (np.zeros((0, 3, 3), np.float32),
-                np.zeros((0,) + tuple(image_shape), np.float32))
-    return np.stack(Hs), np.stack(masks)
+                np.zeros((0,) + tuple(image_shape), np.float32)
+                if with_masks else None)
+    return np.stack(Hs), (np.stack(masks) if with_masks else None)
 
 
-def make_ha_fn(prob_fn, config=None):
+def make_ha_fn(prob_fn, config=None, warp_batch=8):
     """Build the jitted multispectral HA program.
 
     Args:
         prob_fn: (image (B,H,W,1), is_optical: bool) -> prob (B,H,W).
             Wraps the detector forward + cell softmax.
         config: HA config dict (merged over HA_DEFAULT_CONFIG).
+        warp_batch: warps processed per scan step — each step runs the net
+            on (warp_batch * B) images at once instead of the reference's
+            one-warp-at-a-time loop (export_keypoints.py:162-256); the
+            count-weighted accumulation is associative so results match.
 
-    Returns fn(img_o, img_t, homographies (n,3,3), valid_masks (n,H,W))
+    Returns fn(img_o, img_t, homographies (n,3,3), valid_masks (n,H,W)|None)
         -> dict with 'prob' (prod/sum modes) or 'prob_optical'/'prob_thermal'
-        (window mode), matching the reference output dict.
+        (window mode), matching the reference output dict. valid_masks=None
+        computes the eroded masks on device (exact cv2 parity) — the fast
+        path: only n 3x3 matrices cross the host->device link.
     """
     cfg = dict_update(copy.deepcopy(HA_DEFAULT_CONFIG), config or {})
     if cfg['num'] < 1:
@@ -134,8 +150,26 @@ def make_ha_fn(prob_fn, config=None):
         return _smooth(p, fs) if fs > 0 else p
 
     @jax.jit
-    def run(img_o, img_t, homographies, valid_masks):
+    def run(img_o, img_t, homographies, valid_masks=None):
         B = img_o.shape[0]
+        n = homographies.shape[0]
+        if valid_masks is None:
+            valid_masks = compute_valid_mask_device(
+                homographies, img_o.shape[1:3],
+                cfg['erosion_radius'], cfg['mask_border'])
+        wb = max(min(warp_batch, n), 1) if n else 1
+        if n % wb != 0:
+            # pad with identity homographies + ZERO masks (count 0 => inert)
+            pad = wb - n % wb
+            homographies = jnp.concatenate(
+                [homographies,
+                 jnp.broadcast_to(jnp.eye(3, dtype=homographies.dtype),
+                                  (pad, 3, 3))], 0)
+            valid_masks = jnp.concatenate(
+                [valid_masks, jnp.zeros((pad,) + valid_masks.shape[1:],
+                                        valid_masks.dtype)], 0)
+        homographies = homographies.reshape(-1, wb, 3, 3)
+        valid_masks = valid_masks.reshape((-1, wb) + valid_masks.shape[1:])
         prob_o = maybe_smooth(prob_fn(img_o, True))
         prob_t = maybe_smooth(prob_fn(img_t, False))
         count = jnp.ones_like(prob_o)
@@ -155,34 +189,45 @@ def make_ha_fn(prob_fn, config=None):
 
         def body(carry, inputs):
             acc, acc_o, acc_t, count = carry
-            Hmat, vmask = inputs
-            Hb = jnp.broadcast_to(Hmat, (B, 3, 3))
-            wo = warp_image_batch(img_o, Hb, "bilinear", "reflection")
-            wt = warp_image_batch(img_t, Hb, "bilinear", "reflection")
-            po = maybe_smooth(prob_fn(wo, True))
-            pt = maybe_smooth(prob_fn(wt, False))
+            Hmats, vmasks = inputs               # (wb, 3, 3), (wb, H, W)
+            # ONE shared-index multi-warp applies every homography to both
+            # spectra at once (index maps shared over batch AND channel —
+            # ~3x fewer gather cycles than wb*B independent warps).
+            stacked = jnp.concatenate([img_o, img_t], axis=-1)   # (B,H,W,2)
+            w = warp_image_multi(stacked, Hmats, "bilinear", "reflection")
+            w = w.reshape((wb * B,) + w.shape[2:])               # (wb*B,H,W,2)
+            po = maybe_smooth(prob_fn(w[..., :1], True))         # (wb*B,H,W)
+            pt = maybe_smooth(prob_fn(w[..., 1:], False))
+            po = po.reshape((wb, B) + po.shape[1:])
+            pt = pt.reshape((wb, B) + pt.shape[1:])
 
-            Hinv = jnp.linalg.inv(Hmat)
-            Hinv_b = jnp.broadcast_to(Hinv, (B, 3, 3))
+            Hinv = jnp.linalg.inv(Hmats)                         # (wb, 3, 3)
+            # the valid masks don't vary over B: unwarp once per homography
             count_sample = warp_image_batch(
-                jnp.broadcast_to(vmask[None, :, :, None], img_o.shape),
-                Hinv_b, "nearest", "zeros")[..., 0]
-            count = count + count_sample
+                vmasks[..., None], Hinv, "nearest", "zeros")[..., 0]
+            count_sample = count_sample[:, None]                 # (wb,1,H,W)
+
+            def unwarp(p):                                       # (wb,B',H,W)
+                # B rides the channel axis so the inverse-warp gather's
+                # index maps are shared across the batch
+                u = warp_image_batch(p.transpose(0, 2, 3, 1), Hinv,
+                                     "bilinear", "zeros")
+                return u.transpose(0, 3, 1, 2)
 
             if agg == 'window':
-                uo = warp_image_batch(po[..., None], Hinv_b,
-                                      "bilinear", "zeros")[..., 0]
-                ut = warp_image_batch(pt[..., None], Hinv_b,
-                                      "bilinear", "zeros")[..., 0]
-                fo, ft = search_window(uo, ut, cfg['window_size'],
+                u = unwarp(jnp.concatenate([po, pt], axis=1))    # (wb,2B,H,W)
+                flat = lambda x: x.reshape((-1,) + x.shape[2:])
+                fo, ft = search_window(flat(u[:, :B]), flat(u[:, B:]),
+                                       cfg['window_size'],
                                        cfg['weighted_window'])
-                acc_o = acc_o + fo * count_sample
-                acc_t = acc_t + ft * count_sample
+                fo = fo.reshape((wb, B) + fo.shape[1:])
+                ft = ft.reshape((wb, B) + ft.shape[1:])
+                acc_o = acc_o + (fo * count_sample).sum(0)
+                acc_t = acc_t + (ft * count_sample).sum(0)
             else:
-                pw = po * pt if agg == 'prod' else po + pt
-                unwarped = warp_image_batch(pw[..., None], Hinv_b,
-                                            "bilinear", "zeros")[..., 0]
-                acc = acc + unwarped * count_sample
+                pw = po * pt if agg == 'prod' else po + pt       # (wb,B,H,W)
+                acc = acc + (unwarp(pw) * count_sample).sum(0)
+            count = count + count_sample.sum(0)
             return (acc, acc_o, acc_t, count), None
 
         (acc, acc_o, acc_t, count), _ = jax.lax.scan(
@@ -214,8 +259,9 @@ def homographic_adaptation_multispectral(img_o, img_t, prob_fn, config=None,
     """Convenience wrapper: sample homographies on host, run the jitted HA
     program (reference homographic_adaptation_multispectral)."""
     run, cfg = make_ha_fn(prob_fn, config)
-    Hs, masks = sample_ha_homographies(cfg, img_o.shape[1:3], rng)
-    return run(img_o, img_t, jnp.asarray(Hs), jnp.asarray(masks))
+    Hs, _ = sample_ha_homographies(cfg, img_o.shape[1:3], rng,
+                                   with_masks=False)
+    return run(img_o, img_t, jnp.asarray(Hs))
 
 
 def homographic_adaptation(img, prob_fn, config=None, rng=None):
@@ -227,27 +273,28 @@ def homographic_adaptation(img, prob_fn, config=None, rng=None):
     def maybe_smooth(p):
         return _smooth(p, fs) if fs > 0 else p
 
-    Hs, masks = sample_ha_homographies(cfg, img.shape[1:3], rng)
-    Hs, masks = jnp.asarray(Hs), jnp.asarray(masks)
+    Hs, _ = sample_ha_homographies(cfg, img.shape[1:3], rng, with_masks=False)
+    Hs = jnp.asarray(Hs)
 
     @jax.jit
-    def run(img, Hs, masks):
-        B = img.shape[0]
+    def run(img, Hs):
+        masks = compute_valid_mask_device(
+            Hs, img.shape[1:3], cfg['erosion_radius'], cfg['mask_border'])
         prob = maybe_smooth(prob_fn(img, True))
         count = jnp.ones_like(prob)
 
         def body(carry, inputs):
             prob, count = carry
             Hmat, vmask = inputs
-            Hb = jnp.broadcast_to(Hmat, (B, 3, 3))
-            w = warp_image_batch(img, Hb, "bilinear", "reflection")
+            # shared-index warps: one gather covers the whole batch
+            w = warp_image_multi(img, Hmat[None], "bilinear", "reflection")[0]
             p = maybe_smooth(prob_fn(w, True))
-            Hinv_b = jnp.broadcast_to(jnp.linalg.inv(Hmat), (B, 3, 3))
+            Hinv = jnp.linalg.inv(Hmat)
             count_sample = warp_image_batch(
-                jnp.broadcast_to(vmask[None, :, :, None], img.shape),
-                Hinv_b, "nearest", "zeros")[..., 0]
-            unwarped = warp_image_batch(p[..., None], Hinv_b,
-                                        "bilinear", "zeros")[..., 0]
+                vmask[None, :, :, None], Hinv[None],
+                "nearest", "zeros")[0, ..., 0]                    # (H, W)
+            unwarped = warp_image_multi(p[..., None], Hinv[None],
+                                        "bilinear", "zeros")[0, ..., 0]
             return (prob + unwarped * count_sample, count + count_sample), None
 
         (prob, count), _ = jax.lax.scan(body, (prob, count), (Hs, masks))
@@ -256,4 +303,4 @@ def homographic_adaptation(img, prob_fn, config=None, rng=None):
             out = jnp.where(count >= cfg['min_count'], out, 0.0)
         return out
 
-    return run(img, Hs, masks)
+    return run(img, Hs)
