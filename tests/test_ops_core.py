@@ -213,6 +213,44 @@ def test_compute_valid_mask_erosion():
     assert set(np.unique(m0)) <= {0.0, 1.0}
 
 
+def test_compute_valid_mask_device_matches_cv2():
+    """Device mask path (erosion = min-pool reduce_window) must reproduce
+    the cv2 host mask exactly for every erosion/border combination."""
+    from xpoint_tpu.geometry import compute_valid_mask_device
+    rng = np.random.default_rng(7)
+    shape = (96, 80)
+    Hs = np.stack([sample_homography(np.array(shape), rng=rng)
+                   .astype(np.float32) for _ in range(8)])
+    for er, mb in [(0, False), (5, True), (2, False), (3, True)]:
+        host = np.stack([compute_valid_mask(shape, H, er, mb) for H in Hs])
+        dev = np.asarray(compute_valid_mask_device(jnp.asarray(Hs), shape,
+                                                   er, mb))
+        np.testing.assert_array_equal(host, dev)
+
+
+def test_warp_image_multi_matches_batched_warp():
+    """Shared-index multi-warp == per-homography batched warps, all modes."""
+    from xpoint_tpu.ops import warp_image_multi
+    from xpoint_tpu.ops.warp import warp_image_batch
+    rng = np.random.default_rng(1)
+    B, n, H, W, C = 2, 5, 48, 40, 3
+    img = jnp.asarray(rng.uniform(size=(B, H, W, C)).astype(np.float32))
+    Hm = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+    Hm[:, 0, 2] = rng.uniform(-9, 9, n)
+    Hm[:, 1, 2] = rng.uniform(-9, 9, n)
+    Hm[:, 0, 0] = rng.uniform(0.8, 1.2, n)
+    Hm[:, 2, 0] = rng.uniform(-2e-4, 2e-4, n)
+    Hm = jnp.asarray(Hm)
+    for mode in ("bilinear", "nearest"):
+        for pad in ("zeros", "reflection"):
+            multi = warp_image_multi(img, Hm, mode, pad)
+            ref = jnp.stack([
+                warp_image_batch(img, jnp.broadcast_to(Hm[i], (B, 3, 3)),
+                                 mode, pad) for i in range(n)])
+            np.testing.assert_allclose(np.asarray(multi), np.asarray(ref),
+                                       atol=1e-5)
+
+
 def test_knn2_match_lowe_ratio():
     from xpoint_tpu.ops.matching import knn2_match
     rng = np.random.default_rng(20)

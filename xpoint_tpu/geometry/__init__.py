@@ -2,6 +2,7 @@ from .homography import (
     sample_homography,
     sample_homography_corner,
     compute_valid_mask,
+    compute_valid_mask_device,
     warp_keypoints,
     filter_points,
     warp_points,
@@ -11,6 +12,7 @@ __all__ = [
     "sample_homography",
     "sample_homography_corner",
     "compute_valid_mask",
+    "compute_valid_mask_device",
     "warp_keypoints",
     "filter_points",
     "warp_points",

@@ -1,5 +1,5 @@
 from .gridops import space_to_depth, depth_to_space
-from .warp import warp_image, warp_image_batch
+from .warp import warp_image, warp_image_batch, warp_image_multi
 from .nms import box_nms
 from .detector import prob_from_logits
 from .descriptor import interpolate_descriptors
@@ -10,6 +10,7 @@ __all__ = [
     "depth_to_space",
     "warp_image",
     "warp_image_batch",
+    "warp_image_multi",
     "box_nms",
     "prob_from_logits",
     "interpolate_descriptors",
