@@ -183,6 +183,32 @@ class SS2D(nn.Module):
             y_row = scan_axis(xs32, 0, True).astype(jnp.float32)
             y_row = plain_ln(y_row).astype(xs.dtype)
             y = scan_axis(y_row, 2, False)
+        elif (self.scan_mode == 0 and self.scan_backend == "pallas"
+              and N == 1):
+            # flip-free cross2d fast path: the dt/B/C projections are
+            # token-wise, so they commute with the scan-order permutation —
+            # compute them once per direction in BASE token order (row-major
+            # j=0 / col-major j=1) and let the bidirectional kernel traverse
+            # the reversed directions right-to-left. No flipped copies of
+            # the (B, K, L, D) planes ever touch HBM, and the merge is a
+            # plain sum (csm_triton.py cross_scan/cross_merge equivalent).
+            from ..ops.selective_scan_pallas import selective_scan_fused_bidir
+            row = xs.reshape(B, L, D)
+            col = xs.transpose(0, 2, 1, 3).reshape(B, L, D)
+            xk2 = jnp.stack([row, col], axis=1)               # (B, 2, L, D)
+            # direction k = 2r + j (r=reversed?, j=base order)
+            w4 = x_proj_w.astype(xk2.dtype).reshape(2, 2, R + 2 * N, D)
+            x_dbl = jnp.einsum("bjld,rjcd->brjlc", xk2, w4)
+            x_dbl = x_dbl.reshape(B, K, L, R + 2 * N)
+            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+            dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w_c.astype(dts.dtype))
+            ys = selective_scan_fused_bidir(
+                xk2, dts, Bs, Cs, -jnp.exp(A_logs.reshape(-1)), Ds,
+                dt_bias.reshape(-1))                          # (B, 4, L, D)
+            y_row = ys[:, 0] + ys[:, 2]
+            y_col = ys[:, 1] + ys[:, 3]
+            y = (y_row.reshape(B, H, W, D)
+                 + y_col.reshape(B, W, H, D).transpose(0, 2, 1, 3))
         else:
             xk = cross_scan(xs, self.scan_mode)               # (B, K, L, D)
             x_dbl = jnp.einsum("bkld,kcd->bklc", xk, x_proj_w.astype(xk.dtype))

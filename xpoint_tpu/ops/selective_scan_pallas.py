@@ -273,6 +273,175 @@ def _fused_bkld_bwd(res, g):
 selective_scan_fused_bkld.defvjp(_fused_bkld_fwd, _fused_bkld_bwd)
 
 
+def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
+                        dt_r_ref, u_r_ref, bc_r_ref, cc_r_ref,
+                        A_f_ref, D_f_ref, bias_f_ref,
+                        A_r_ref, D_r_ref, bias_r_ref,
+                        y_f_ref, y_r_ref, carry_f, carry_r, *, chunk):
+    """Forward + reversed selective scans in one pass, flip-free.
+
+    The reversed directions of SS2D's cross-scan are the SAME sequences
+    traversed right-to-left. Instead of materializing flipped copies in HBM
+    (the jnp.flip the reference's Triton cross-scan kernel exists to avoid,
+    csm_triton.py:278-400), the rev lanes read the mirrored L-chunk
+    (index map n-1-l) and run a suffix Hillis-Steele
+    (h_t = a_t*h_{t+1} + b_t), writing results back at original positions.
+    """
+    li = pl.program_id(1)
+
+    @pl.when(li == 0)
+    def _():
+        carry_f[...] = jnp.zeros_like(carry_f)
+        carry_r[...] = jnp.zeros_like(carry_r)
+
+    # --- forward lanes: prefix scan, carry enters from the left
+    dt = jax.nn.softplus(dt_f_ref[...].astype(jnp.float32)
+                         + bias_f_ref[...].astype(jnp.float32))
+    u = u_f_ref[...].astype(jnp.float32)
+    a = jnp.exp(dt * A_f_ref[...].astype(jnp.float32))
+    b = dt * u * bc_f_ref[...].astype(jnp.float32)
+    offset = 1
+    while offset < chunk:
+        a_prev = jnp.concatenate(
+            [jnp.ones_like(a[:offset]), a[:-offset]], axis=0)
+        b_prev = jnp.concatenate(
+            [jnp.zeros_like(b[:offset]), b[:-offset]], axis=0)
+        b = a * b_prev + b
+        a = a * a_prev
+        offset *= 2
+    h = b + a * carry_f[0:1, :]
+    y_f_ref[...] = (cc_f_ref[...].astype(jnp.float32) * h
+                    + D_f_ref[...].astype(jnp.float32) * u).astype(
+                        y_f_ref.dtype)
+    carry_f[0:1, :] = h[chunk - 1:chunk, :]
+
+    # --- reversed lanes: suffix scan on the mirrored chunk, carry enters
+    # from the right ((A,B) compose with the SUCCESSOR:
+    # h_t = B_t + A_t*h_{t+span}, B <- B_t + A_t*B_{t+o}, A <- A_t*A_{t+o})
+    dt = jax.nn.softplus(dt_r_ref[...].astype(jnp.float32)
+                         + bias_r_ref[...].astype(jnp.float32))
+    u = u_r_ref[...].astype(jnp.float32)
+    a = jnp.exp(dt * A_r_ref[...].astype(jnp.float32))
+    b = dt * u * bc_r_ref[...].astype(jnp.float32)
+    offset = 1
+    while offset < chunk:
+        a_next = jnp.concatenate(
+            [a[offset:], jnp.ones_like(a[:offset])], axis=0)
+        b_next = jnp.concatenate(
+            [b[offset:], jnp.zeros_like(b[:offset])], axis=0)
+        b = b + a * b_next
+        a = a * a_next
+        offset *= 2
+    h = b + a * carry_r[0:1, :]
+    y_r_ref[...] = (cc_r_ref[...].astype(jnp.float32) * h
+                    + D_r_ref[...].astype(jnp.float32) * u).astype(
+                        y_r_ref.dtype)
+    carry_r[0:1, :] = h[0:1, :]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "lane_block"))
+def _fused_bidir_lm(dt_f, u, bc_f, cc_f, dt_r, bc_r, cc_r,
+                    A_f, D_f, bias_f, A_r, D_r, bias_r,
+                    chunk=DEFAULT_CHUNK, lane_block=DEFAULT_LANE_BLOCK):
+    """(L, M) bidirectional fused scan; u is shared by both directions."""
+    L, M = dt_f.shape
+    Lp = _round_up(max(L, chunk), chunk)
+    Mp = _round_up(max(M, lane_block), lane_block)
+
+    def pad(x):
+        return jnp.pad(x, ((0, Lp - x.shape[0]), (0, Mp - M)))
+
+    def pad_const(x, cv=0.0):
+        return jnp.pad(x, ((0, 0), (0, Mp - M)), constant_values=cv)
+
+    nl = Lp // chunk
+    grid = (Mp // lane_block, nl)
+    fwd_spec = pl.BlockSpec((chunk, lane_block), lambda m, l: (l, m),
+                            memory_space=pltpu.VMEM)
+    rev_spec = pl.BlockSpec((chunk, lane_block),
+                            lambda m, l: (nl - 1 - l, m),
+                            memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((1, lane_block), lambda m, l: (0, m),
+                              memory_space=pltpu.VMEM)
+    out_dtype = dt_f.dtype
+    u_p = pad(u)
+    y_f, y_r = pl.pallas_call(
+        functools.partial(_fused_bidir_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[fwd_spec, fwd_spec, fwd_spec, fwd_spec,
+                  rev_spec, rev_spec, rev_spec, rev_spec,
+                  const_spec, const_spec, const_spec,
+                  const_spec, const_spec, const_spec],
+        out_specs=[fwd_spec, rev_spec],
+        out_shape=[jax.ShapeDtypeStruct((Lp, Mp), out_dtype),
+                   jax.ShapeDtypeStruct((Lp, Mp), out_dtype)],
+        scratch_shapes=[pltpu.VMEM((8, lane_block), jnp.float32),
+                        pltpu.VMEM((8, lane_block), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=(jax.default_backend() == "cpu"),
+    )(pad(dt_f), u_p, pad(bc_f), pad(cc_f),
+      pad(dt_r), u_p, pad(bc_r), pad(cc_r),
+      pad_const(A_f, -1.0), pad_const(D_f), pad_const(bias_f),
+      pad_const(A_r, -1.0), pad_const(D_r), pad_const(bias_r))
+    return y_f[:L, :M], y_r[:L, :M]
+
+
+def _fused_bidir_impl(u2, dt4, bc4, cc4, A, D, delta_bias):
+    B, K2, L, Dim = u2.shape
+    M = B * K2 * Dim
+    to_lm = lambda x: x.transpose(2, 0, 1, 3).reshape(L, M)
+    half = lambda x: jnp.tile(x, B)[None].astype(jnp.float32)
+    bcb = jnp.broadcast_to(bc4, (B, 4, L, Dim))
+    ccb = jnp.broadcast_to(cc4, (B, 4, L, Dim))
+    HD = K2 * Dim
+    y_f, y_r = _fused_bidir_lm(
+        to_lm(dt4[:, :2]), to_lm(u2), to_lm(bcb[:, :2]), to_lm(ccb[:, :2]),
+        to_lm(dt4[:, 2:]), to_lm(bcb[:, 2:]), to_lm(ccb[:, 2:]),
+        half(A[:HD]), half(D[:HD]), half(delta_bias[:HD]),
+        half(A[HD:]), half(D[HD:]), half(delta_bias[HD:]))
+    from_lm = lambda y: y.reshape(L, B, K2, Dim).transpose(1, 2, 0, 3)
+    return jnp.concatenate([from_lm(y_f), from_lm(y_r)], axis=1)
+
+
+def _unfused_bidir_ref(u2, dt4, bc4, cc4, A, D, delta_bias):
+    """jnp reference of the bidirectional scan (flip-based) — used for the
+    backward pass; linear_scan supplies the recurrence vjp."""
+    flip2 = lambda x: jnp.flip(x, axis=2)
+    u4 = jnp.concatenate([u2, flip2(u2)], axis=1)
+    dtf = jnp.concatenate([dt4[:, :2], flip2(dt4[:, 2:])], axis=1)
+    bcf = jnp.concatenate([bc4[:, :2], flip2(bc4[:, 2:])], axis=1)
+    ccf = jnp.concatenate([cc4[:, :2], flip2(cc4[:, 2:])], axis=1)
+    y = _unfused_bkld_ref(u4, dtf, A, bcf, ccf, D, delta_bias)
+    return jnp.concatenate([y[:, :2], flip2(y[:, 2:])], axis=1)
+
+
+@jax.custom_vjp
+def selective_scan_fused_bidir(u2, dt4, bc4, cc4, A, D, delta_bias):
+    """N=1 fused scan over the two cross2d base orders and their reversals.
+
+    u2: (B, 2, L, Dim) row-major / col-major token orders (UNFLIPPED);
+    dt4/bc4/cc4: (B, 4, L, *) per-direction values in base order (the
+    projections commute with the token permutation, so directions 2/3 are
+    computed without flipping); A/D/delta_bias: (4*Dim,).
+    Returns (B, 4, L, Dim) with directions 2/3 already back in base order —
+    cross-merge becomes a flip-free sum.
+    """
+    return _fused_bidir_impl(u2, dt4, bc4, cc4, A, D, delta_bias)
+
+
+def _fused_bidir_fwd(*args):
+    return _fused_bidir_impl(*args), args
+
+
+def _fused_bidir_bwd(res, g):
+    _, vjp = jax.vjp(_unfused_bidir_ref, *res)
+    return vjp(g.astype(jnp.float32))
+
+
+selective_scan_fused_bidir.defvjp(_fused_bidir_fwd, _fused_bidir_bwd)
+
+
 @jax.custom_vjp
 def selective_scan_fused(u, delta, A, Bmat, Cmat, D, delta_bias):
     return _selective_scan_fused_impl(u, delta, A, Bmat, Cmat, D, delta_bias)
