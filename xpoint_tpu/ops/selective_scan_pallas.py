@@ -277,7 +277,7 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
                         dt_r_ref, u_r_ref, bc_r_ref, cc_r_ref,
                         A_f_ref, D_f_ref, bias_f_ref,
                         A_r_ref, D_r_ref, bias_r_ref,
-                        y_f_ref, y_r_ref, carry_f, carry_r, *, chunk):
+                        y_f_ref, y_r_ref, carry_f, carry_r, *, chunk, reps):
     """Forward + reversed selective scans in one pass, flip-free.
 
     The reversed directions of SS2D's cross-scan are the SAME sequences
@@ -286,8 +286,30 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
     csm_triton.py:278-400), the rev lanes read the mirrored L-chunk
     (index map n-1-l) and run a suffix Hillis-Steele
     (h_t = a_t*h_{t+1} + b_t), writing results back at original positions.
+
+    The N=1 B/C scalars are constant across the channel (lane-minor) axis:
+    with lane blocks aligned to whole (batch, direction) groups they arrive
+    COMPACT — one column per group — and are expanded in VMEM (`reps` = the
+    channel count each column covers), cutting the kernel's HBM input
+    volume nearly in half versus pre-broadcast (L, M) planes.
     """
     li = pl.program_id(1)
+
+    def lanes(ref, width):
+        blk = ref[...].astype(jnp.float32)
+        if reps == 1:
+            return blk
+        # compact block carries ALL groups (full compact width — tiny);
+        # select + lane-repeat this block's window via a one-hot expansion
+        # matmul (Mosaic has no vector lane-repeat; the MXU does this free)
+        gp = blk.shape[1]
+        start = pl.program_id(0) * width
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gp, width), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (gp, width), 1)
+        expand = ((start + cols) // reps == rows).astype(jnp.float32)
+        return jax.lax.dot_general(blk, expand, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(li == 0)
     def _():
@@ -299,7 +321,8 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
                          + bias_f_ref[...].astype(jnp.float32))
     u = u_f_ref[...].astype(jnp.float32)
     a = jnp.exp(dt * A_f_ref[...].astype(jnp.float32))
-    b = dt * u * bc_f_ref[...].astype(jnp.float32)
+    width = dt.shape[1]
+    b = dt * u * lanes(bc_f_ref, width)
     offset = 1
     while offset < chunk:
         a_prev = jnp.concatenate(
@@ -310,7 +333,7 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
         a = a * a_prev
         offset *= 2
     h = b + a * carry_f[0:1, :]
-    y_f_ref[...] = (cc_f_ref[...].astype(jnp.float32) * h
+    y_f_ref[...] = (lanes(cc_f_ref, width) * h
                     + D_f_ref[...].astype(jnp.float32) * u).astype(
                         y_f_ref.dtype)
     carry_f[0:1, :] = h[chunk - 1:chunk, :]
@@ -322,7 +345,7 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
                          + bias_r_ref[...].astype(jnp.float32))
     u = u_r_ref[...].astype(jnp.float32)
     a = jnp.exp(dt * A_r_ref[...].astype(jnp.float32))
-    b = dt * u * bc_r_ref[...].astype(jnp.float32)
+    b = dt * u * lanes(bc_r_ref, width)
     offset = 1
     while offset < chunk:
         a_next = jnp.concatenate(
@@ -333,23 +356,40 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
         a = a * a_next
         offset *= 2
     h = b + a * carry_r[0:1, :]
-    y_r_ref[...] = (cc_r_ref[...].astype(jnp.float32) * h
+    y_r_ref[...] = (lanes(cc_r_ref, width) * h
                     + D_r_ref[...].astype(jnp.float32) * u).astype(
                         y_r_ref.dtype)
     carry_r[0:1, :] = h[0:1, :]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "lane_block"))
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "lane_block", "group"))
 def _fused_bidir_lm(dt_f, u, bc_f, cc_f, dt_r, bc_r, cc_r,
                     A_f, D_f, bias_f, A_r, D_r, bias_r,
-                    chunk=DEFAULT_CHUNK, lane_block=DEFAULT_LANE_BLOCK):
-    """(L, M) bidirectional fused scan; u is shared by both directions."""
+                    chunk=DEFAULT_CHUNK, lane_block=DEFAULT_LANE_BLOCK,
+                    group=0):
+    """(L, M) bidirectional fused scan; u is shared by both directions.
+
+    With group=Dim > 0, bc/cc are COMPACT (L, M/Dim): lanes are grouped in
+    runs of `group` channels sharing one scalar, lane blocks align to whole
+    groups (or sit inside one), and the kernel expands the scalars in VMEM
+    instead of reading pre-broadcast (L, M) planes from HBM.
+    """
     L, M = dt_f.shape
     Lp = _round_up(max(L, chunk), chunk)
     Mp = _round_up(max(M, lane_block), lane_block)
+    if group:
+        assert lane_block % group == 0 or group % lane_block == 0
+        reps = group
+        Gp = Mp // group
+    else:
+        reps, Gp = 1, Mp
 
     def pad(x):
-        return jnp.pad(x, ((0, Lp - x.shape[0]), (0, Mp - M)))
+        return jnp.pad(x, ((0, Lp - x.shape[0]), (0, Mp - x.shape[1])))
+
+    def pad_bc(x):
+        return jnp.pad(x, ((0, Lp - x.shape[0]), (0, Gp - x.shape[1])))
 
     def pad_const(x, cv=0.0):
         return jnp.pad(x, ((0, 0), (0, Mp - M)), constant_values=cv)
@@ -361,15 +401,22 @@ def _fused_bidir_lm(dt_f, u, bc_f, cc_f, dt_r, bc_r, cc_r,
     rev_spec = pl.BlockSpec((chunk, lane_block),
                             lambda m, l: (nl - 1 - l, m),
                             memory_space=pltpu.VMEM)
+    # compact bc/cc travel FULL-width (tiny); the kernel selects its window
+    bc_block = lane_block if not group else Gp
+    bcf_spec = pl.BlockSpec((chunk, bc_block), lambda m, l: (l, 0 if group else m),
+                            memory_space=pltpu.VMEM)
+    bcr_spec = pl.BlockSpec((chunk, bc_block),
+                            lambda m, l: (nl - 1 - l, 0 if group else m),
+                            memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((1, lane_block), lambda m, l: (0, m),
                               memory_space=pltpu.VMEM)
     out_dtype = dt_f.dtype
     u_p = pad(u)
     y_f, y_r = pl.pallas_call(
-        functools.partial(_fused_bidir_kernel, chunk=chunk),
+        functools.partial(_fused_bidir_kernel, chunk=chunk, reps=reps),
         grid=grid,
-        in_specs=[fwd_spec, fwd_spec, fwd_spec, fwd_spec,
-                  rev_spec, rev_spec, rev_spec, rev_spec,
+        in_specs=[fwd_spec, fwd_spec, bcf_spec, bcf_spec,
+                  rev_spec, rev_spec, bcr_spec, bcr_spec,
                   const_spec, const_spec, const_spec,
                   const_spec, const_spec, const_spec],
         out_specs=[fwd_spec, rev_spec],
@@ -380,8 +427,8 @@ def _fused_bidir_lm(dt_f, u, bc_f, cc_f, dt_r, bc_r, cc_r,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=(jax.default_backend() == "cpu"),
-    )(pad(dt_f), u_p, pad(bc_f), pad(cc_f),
-      pad(dt_r), u_p, pad(bc_r), pad(cc_r),
+    )(pad(dt_f), u_p, pad_bc(bc_f), pad_bc(cc_f),
+      pad(dt_r), u_p, pad_bc(bc_r), pad_bc(cc_r),
       pad_const(A_f, -1.0), pad_const(D_f), pad_const(bias_f),
       pad_const(A_r, -1.0), pad_const(D_r), pad_const(bias_r))
     return y_f[:L, :M], y_r[:L, :M]
@@ -390,16 +437,39 @@ def _fused_bidir_lm(dt_f, u, bc_f, cc_f, dt_r, bc_r, cc_r,
 def _fused_bidir_impl(u2, dt4, bc4, cc4, A, D, delta_bias):
     B, K2, L, Dim = u2.shape
     M = B * K2 * Dim
+    G = B * K2
+    # lanes stay channel-minor (lane = (b*K2 + j)*Dim + d, cheap relayout);
+    # the N=1 B/C scalars are constant over each Dim-long lane group, so
+    # they ship compact as one column per (b, j) group
     to_lm = lambda x: x.transpose(2, 0, 1, 3).reshape(L, M)
     half = lambda x: jnp.tile(x, B)[None].astype(jnp.float32)
-    bcb = jnp.broadcast_to(bc4, (B, 4, L, Dim))
-    ccb = jnp.broadcast_to(cc4, (B, 4, L, Dim))
+    # lane blocks must align to whole groups (or sit inside one)
+    if 384 % Dim == 0 or Dim % 384 == 0:
+        lane_block, group = 384, Dim
+    elif Dim % 512 == 0:
+        lane_block, group = 512, Dim
+    elif Dim % 128 == 0:
+        lane_block, group = 128, Dim
+    else:
+        lane_block, group = DEFAULT_LANE_BLOCK, 0
+
+    if group:
+        to_c = lambda x: x[..., 0].transpose(2, 0, 1).reshape(L, G)
+        bc_f, bc_r = to_c(bc4[:, :2]), to_c(bc4[:, 2:])
+        cc_f, cc_r = to_c(cc4[:, :2]), to_c(cc4[:, 2:])
+    else:
+        bcb = jnp.broadcast_to(bc4, (B, 4, L, Dim))
+        ccb = jnp.broadcast_to(cc4, (B, 4, L, Dim))
+        bc_f, bc_r = to_lm(bcb[:, :2]), to_lm(bcb[:, 2:])
+        cc_f, cc_r = to_lm(ccb[:, :2]), to_lm(ccb[:, 2:])
+
     HD = K2 * Dim
     y_f, y_r = _fused_bidir_lm(
-        to_lm(dt4[:, :2]), to_lm(u2), to_lm(bcb[:, :2]), to_lm(ccb[:, :2]),
-        to_lm(dt4[:, 2:]), to_lm(bcb[:, 2:]), to_lm(ccb[:, 2:]),
+        to_lm(dt4[:, :2]), to_lm(u2), bc_f, cc_f,
+        to_lm(dt4[:, 2:]), bc_r, cc_r,
         half(A[:HD]), half(D[:HD]), half(delta_bias[:HD]),
-        half(A[HD:]), half(D[HD:]), half(delta_bias[HD:]))
+        half(A[HD:]), half(D[HD:]), half(delta_bias[HD:]),
+        lane_block=lane_block, group=group)
     from_lm = lambda y: y.reshape(L, B, K2, Dim).transpose(1, 2, 0, 3)
     return jnp.concatenate([from_lm(y_f), from_lm(y_r)], axis=1)
 
