@@ -20,7 +20,8 @@ def main():
     from xpoint_tpu.eval import make_pair_pipeline
     from __graft_entry__ import VMAMBA_MODEL_CFG
 
-    B, H, W = 8, 512, 512
+    import os as _os
+    B, H, W = int(_os.environ.get("XPOINT_BENCH_B", "8")), 512, 512
     module, _ = build_xpoint(VMAMBA_MODEL_CFG)
     rng = np.random.default_rng(0)
     img_o = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
