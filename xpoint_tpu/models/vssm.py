@@ -34,6 +34,52 @@ from ..ops.selective_scan import selective_scan
 from ..ops.gridops import depth_to_space
 
 
+class _StridedConv3x3(nn.Module):
+    """3x3 stride-2 pad-1 conv (patch embed v2 / downsample v3,
+    VMamba.py:1410-1440) evaluated as a stride-1 2x2 conv over the
+    space-to-depth'd input.
+
+    XLA's native strided conv on thin channels runs ~10x off the HBM
+    roofline on TPU (it can't tile a 3-channel stride-2 im2col onto the
+    MXU); the s2d form quadruples the contraction width and runs ~2x
+    faster. Parameters keep nn.Conv's exact name/shape ("kernel"
+    (3,3,C,F), "bias" (F,)) so checkpoint conversion is unchanged — the
+    kernel is scattered into the 16-tap layout at trace time.
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, C, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if H % 2 or W % 2:
+            y = jax.lax.conv_general_dilated(
+                x, k, (2, 2), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(y.dtype)
+        # tap (di, dj) of output pixel (i, j) reads input row 2i + di - 1:
+        # di=0 -> s2d cell (i-1, parity 1); di=1 -> (i, 0); di=2 -> (i, 1)
+        w2 = jnp.zeros((2, 2, 4 * C, self.features), k.dtype)
+        for di in range(3):
+            ci, pi = ((-1, 1) if di == 0 else (0, di - 1))
+            for dj in range(3):
+                cj, pj = ((-1, 1) if dj == 0 else (0, dj - 1))
+                ch = (pi * 2 + pj) * C
+                w2 = w2.at[ci + 1, cj + 1, ch:ch + C].set(k[di, dj])
+        g = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        g = g.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        y = jax.lax.conv_general_dilated(
+            g, w2, (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(y.dtype)
+
+
 def _trunc_normal(std=0.02):
     return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
 
@@ -397,15 +443,16 @@ class VSSM(nn.Module):
         dpr = [float(v) for v in
                np.linspace(0, self.drop_path_rate, sum(self.depths))]
 
-        # patch embed v2: two stride-2 convs with explicit torch-style padding
+        # patch embed v2: two stride-2 convs with explicit torch-style
+        # padding (conv1 stays a plain conv: s2d-ing the full-res input
+        # costs more in relayout than the conv saves)
         x = nn.Conv(self.embed_dim // 2, (3, 3), strides=(2, 2),
                     padding=[(1, 1), (1, 1)], dtype=self.dtype,
                     name="patch_embed_conv1")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="patch_embed_norm1")(x).astype(self.dtype)
         x = nn.gelu(x)
-        x = nn.Conv(self.embed_dim, (3, 3), strides=(2, 2),
-                    padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                    name="patch_embed_conv2")(x)
+        x = _StridedConv3x3(self.embed_dim, dtype=self.dtype,
+                            name="patch_embed_conv2")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="patch_embed_norm2")(x).astype(self.dtype)
 
         block_idx = 0
@@ -421,9 +468,8 @@ class VSSM(nn.Module):
                 block_idx += 1
             if i_layer < len(self.depths) - 1:
                 # downsample v3
-                x = nn.Conv(dims[i_layer + 1], (3, 3), strides=(2, 2),
-                            padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                            name=f"layers_{i_layer}_downsample_conv")(x)
+                x = _StridedConv3x3(dims[i_layer + 1], dtype=self.dtype,
+                                    name=f"layers_{i_layer}_downsample_conv")(x)
                 x = nn.LayerNorm(dtype=jnp.float32,
                                  name=f"layers_{i_layer}_downsample_norm")(x).astype(self.dtype)
 
