@@ -16,10 +16,22 @@ DATA_AXIS = "data"
 
 
 def make_mesh(n_devices=None, devices=None):
-    """1-D data-parallel mesh over the first n devices."""
+    """1-D data-parallel mesh over the first n devices.
+
+    Raises if fewer than n_devices are available — silently truncating
+    would make every downstream "multi-chip" check pass vacuously on a
+    single chip.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: asked for {n_devices} devices but only "
+                f"{len(devices)} available ({jax.default_backend()} backend). "
+                "For a virtual mesh set JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+                "before jax initializes.")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
