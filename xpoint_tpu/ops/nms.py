@@ -4,14 +4,11 @@ TPU-native replacement for the torchvision-NMS-based reference box_nms
 (utils/utils.py:148-192): hypothetical ``size x size`` boxes centered at every
 pixel above ``min_prob``, greedy suppression at IoU ``iou``, optional top-k.
 
-Dynamic candidate sets don't jit, so candidates are the top
-``max_candidates`` scores (pad + mask) — exact as long as ``max_candidates``
-exceeds the number of above-threshold pixels (4096 default vs ~1-3k typical
-at the 0.015 operating threshold).
-
-Greedy suppression runs as a lax.fori_loop over candidates in score order
-with an O(K) vector update per step; equal-sized boxes make the pairwise
-IoU a simple separable overlap product.
+Greedy suppression runs as a fixed-point iteration directly on the heatmap
+grid (no candidate extraction, no K x K matrix): each sweep asks every
+above-threshold pixel "does a strictly-higher-scoring kept pixel overlap
+me?", answered by a few reduce_window running maxes — see _grid_nms_keep.
+All above-threshold pixels participate (the reference caps nothing either).
 """
 from functools import partial
 
@@ -19,53 +16,85 @@ import jax
 import jax.numpy as jnp
 
 
-def _greedy_nms_indices(ys, xs, scores, valid, size, iou):
-    """Greedy NMS over candidates sorted by descending score.
+def _overlap_widths(size, iou):
+    """allowed |dx| per |dy| for the equal-box IoU criterion: boxes at
+    offset (dy, dx) suppress iff (s-|dy|)(s-|dx|) / (2s^2 - inter) > iou."""
+    s = float(size)
+    thr = 2.0 * iou * s * s / (1.0 + iou)
+    widths = []
+    for dy in range(size):
+        w = -1
+        for dx in range(size):
+            if (s - dy) * (s - dx) > thr:
+                w = dx
+        widths.append(w)
+    return widths
 
-    Exact greedy semantics via fixed-point iteration instead of a K-step
-    sequential loop: with the suppression DAG restricted to higher-scoring
-    boxes (strict lower-triangular overlap matrix M), iterate
-        keep <- valid & ~(keep @ M)
-    from keep = valid. The fixed point is unique and equals the greedy
-    result (induction over score rank); convergence takes as many sweeps as
-    the longest suppression chain (typically < 10), each sweep one K x K
-    matvec on the MXU — thousands of times fewer sequential steps than the
-    torchvision-style loop the reference uses (utils.py:148-192).
 
-    Args: all (K,) arrays, already sorted by descending score.
-    Returns keep mask (K,) bool.
+@partial(jax.jit, static_argnames=("size", "iou"))
+def _grid_nms_keep(prob, valid, size, iou):
+    """Greedy box-NMS as a fixed point ON THE HEATMAP GRID.
+
+    The candidate-matrix formulation materializes a K x K suppression
+    matrix (34 MB bf16 at K=4096) and re-reads it every sweep — profiled
+    at ~15 ms/batch, the single largest cost in the detect pipeline. But
+    equal-size boxes only interact within a (2s-1)^2 neighborhood, so the
+    sweep
+        keep <- valid & ~(exists kept neighbor with strictly higher score)
+    is a handful of reduce_window running maxes over the heatmap: the
+    overlap region {(dy,dx): iou(dy,dx) > thr} decomposes into horizontal
+    strips of per-|dy| width, giving (#distinct widths) horizontal max
+    passes + (2s-1) shifted vertical max combines per sweep. The fixed
+    point equals greedy NMS by the same rank-induction as the matrix
+    version under strict score order; EXACT score ties between overlapping
+    candidates keep both here, where the reference's index-order greedy
+    keeps one (float-exact ties in softmaxed heatmaps are measure-zero).
+
+    prob: (B, H, W); valid: (B, H, W) bool (above-threshold).
+    Returns keep: (B, H, W) bool.
     """
-    K = scores.shape[0]
-    s = jnp.float32(size)
-    # pairwise intersection of size-s axis-aligned boxes centered at points
-    dy = jnp.abs(ys[:, None] - ys[None, :])
-    dx = jnp.abs(xs[:, None] - xs[None, :])
-    inter = jnp.maximum(s - dy, 0.0) * jnp.maximum(s - dx, 0.0)
-    iou_mat = inter / (2.0 * s * s - inter)
-    # M[j, i] = True where j (higher score) suppresses i. bf16 is exact for
-    # a 0/1 matrix and the matvec result is only tested against zero, so the
-    # sweep runs at full MXU bf16 speed with no semantic change.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
-    M = ((iou_mat > iou) & (rows < cols)).astype(jnp.bfloat16)
-    valid_f = valid.astype(jnp.bfloat16)
+    widths = _overlap_widths(size, iou)
+    neg = jnp.float32(-1.0)
+
+    def neighbor_max(S):
+        # horizontal running max per distinct width
+        row_max = {}
+        for w in sorted({w for w in widths if w >= 0}):
+            row_max[w] = jax.lax.reduce_window(
+                S, neg, jax.lax.max, (1, 1, 2 * w + 1), (1, 1, 1), "SAME")
+        # vertical combine: shift each row-max by dy and take the max
+        out = jnp.full_like(S, neg)
+        for dy in range(-(size - 1), size):
+            w = widths[abs(dy)]
+            if w < 0:
+                continue
+            r = row_max[w]
+            if dy > 0:
+                shifted = jnp.pad(r[:, dy:], ((0, 0), (0, dy), (0, 0)),
+                                  constant_values=neg)
+            elif dy < 0:
+                shifted = jnp.pad(r[:, :dy], ((0, 0), (-dy, 0), (0, 0)),
+                                  constant_values=neg)
+            else:
+                shifted = r
+            out = jnp.maximum(out, shifted)
+        return out
+
+    p = prob.astype(jnp.float32)
 
     def cond(state):
         keep, prev, it = state
-        return jnp.logical_and(jnp.any(keep != prev), it < K)
+        return jnp.logical_and(jnp.any(keep != prev), it < 64)
 
     def body(state):
         keep, _, it = state
-        suppressed = jnp.dot(keep, M,
-                             preferred_element_type=jnp.float32) > 0.0
-        new = valid_f * (1.0 - suppressed.astype(jnp.bfloat16))
-        return new, keep, it + 1
+        S = jnp.where(keep, p, neg)
+        suppressed = neighbor_max(S) > p
+        return valid & ~suppressed, keep, it + 1
 
-    keep0 = valid_f
     keep, _, _ = jax.lax.while_loop(cond, body,
-                                    (keep0, jnp.zeros_like(keep0) - 1.0,
-                                     jnp.int32(0)))
-    return keep > 0.5
+                                    (valid, ~valid, jnp.int32(0)))
+    return keep
 
 
 @partial(jax.jit, static_argnames=("size", "iou", "keep_top_k", "max_candidates"))
@@ -83,30 +112,19 @@ def box_nms(prob, size, min_prob, iou=0.1, keep_top_k=0, max_candidates=4096):
     Returns:
         Heatmap of the same shape with only kept detections non-zero.
     """
-    if prob.ndim == 2:
-        return _box_nms_single(prob, size, min_prob, iou, keep_top_k, max_candidates)
-    fn = partial(_box_nms_single, size=size, iou=iou, keep_top_k=keep_top_k,
-                 max_candidates=max_candidates)
-    return jax.vmap(lambda p: fn(p, min_prob=min_prob))(prob)
-
-
-def _box_nms_single(prob, size, min_prob, iou, keep_top_k, max_candidates):
-    H, W = prob.shape
-    flat = prob.reshape(-1)
-    K = min(max_candidates, H * W)
-    scores, idx = jax.lax.top_k(flat, K)
-    valid = scores > min_prob
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
-    keep = _greedy_nms_indices(ys, xs, scores.astype(jnp.float32), valid, size, iou)
-
+    squeeze = prob.ndim == 2
+    p = prob[None] if squeeze else prob
+    valid = p > min_prob
+    keep = _grid_nms_keep(p, valid, size, iou)
+    out = jnp.where(keep, p, 0.0).astype(prob.dtype)
     if keep_top_k and keep_top_k > 0:
-        kept_rank = jnp.cumsum(keep.astype(jnp.int32))  # rank among kept (1-based)
-        keep = keep & (kept_rank <= keep_top_k)
-
-    out = jnp.zeros_like(flat)
-    out = out.at[idx].set(jnp.where(keep, scores, 0.0).astype(prob.dtype))
-    return out.reshape(H, W)
+        B, H, W = out.shape
+        flat = out.reshape(B, H * W)
+        scores, idx = jax.lax.top_k(flat, min(keep_top_k, H * W))
+        flat = jnp.zeros_like(flat)
+        flat = jax.vmap(lambda f, i, s: f.at[i].set(s))(flat, idx, scores)
+        out = flat.reshape(B, H, W)
+    return out[0] if squeeze else out
 
 
 @partial(jax.jit, static_argnames=("size", "iou", "k", "max_candidates"))
@@ -119,24 +137,19 @@ def box_nms_extract(prob, size, min_prob, iou=0.1, k=1024,
 
     Returns (keypoints (k, 2) int32, scores (k,), mask (k,)).
     """
+    del max_candidates  # grid NMS considers every above-threshold pixel
     H, W = prob.shape
-    flat = prob.reshape(-1)
-    K = min(max_candidates, H * W)
-    scores, idx = jax.lax.top_k(flat, K)
-    valid = scores > min_prob
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
-    keep = _greedy_nms_indices(ys, xs, scores.astype(jnp.float32), valid,
-                               size, iou)
-    kept_scores = jnp.where(keep, scores, 0.0)
-    top_scores, top_i = jax.lax.top_k(kept_scores, min(k, K))
+    keep = _grid_nms_keep(prob[None], (prob > min_prob)[None], size, iou)[0]
+    kept = jnp.where(keep, prob, 0.0).reshape(-1)
+    kk = min(k, H * W)
+    top_scores, idx = jax.lax.top_k(kept, kk)
     mask = top_scores > min_prob
-    kps = jnp.stack([(idx[top_i] // W).astype(jnp.int32),
-                     (idx[top_i] % W).astype(jnp.int32)], axis=-1)
+    kps = jnp.stack([(idx // W).astype(jnp.int32),
+                     (idx % W).astype(jnp.int32)], axis=-1)
     kps = jnp.where(mask[:, None], kps, 0)
     scores_out = jnp.where(mask, top_scores, 0.0)
-    if k > K:
-        pad = k - K
+    if k > kk:
+        pad = k - kk
         kps = jnp.pad(kps, ((0, pad), (0, 0)))
         scores_out = jnp.pad(scores_out, (0, pad))
         mask = jnp.pad(mask, (0, pad))

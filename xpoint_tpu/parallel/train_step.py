@@ -35,6 +35,23 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt)
 
 
+def _pair_routing_args(batch):
+    """Per-sample encoder routing (random_pairs shuffling) and HomographyNet
+    input ordering derived from the batch — shared by train and eval steps
+    so validation routes spectra exactly like training."""
+    opt = batch["optical"]
+    is_o = opt.get("is_optical")
+    is_t = batch["thermal"].get("is_optical")
+    eye = jnp.eye(3, dtype=jnp.float32)
+    optical_not_warped = None
+    if "homography" in opt:
+        optical_not_warped = jnp.all(
+            jnp.abs(opt["homography"] - eye) < 1e-6, axis=(1, 2))
+    return (optical_not_warped,
+            None if is_o is None else is_o.reshape(-1),
+            None if is_t is None else is_t.reshape(-1))
+
+
 def make_train_step(module, loss_fn, takes_pair=True, donate=True):
     """Build the jitted train step.
 
@@ -54,21 +71,10 @@ def make_train_step(module, loss_fn, takes_pair=True, donate=True):
                 mutable = ["batch_stats"]
             rngs = {"droppath": rng_model, "dropout": rng_model}
             if takes_pair:
-                opt = batch["optical"]
-                # per-sample encoder routing (random_pairs shuffling) and
-                # HomographyNet input ordering derived from the batch
-                is_o = opt.get("is_optical")
-                is_t = batch["thermal"].get("is_optical")
-                eye = jnp.eye(3, dtype=jnp.float32)
-                optical_not_warped = None
-                if "homography" in opt:
-                    optical_not_warped = jnp.all(
-                        jnp.abs(opt["homography"] - eye) < 1e-6, axis=(1, 2))
+                not_warped, is_o, is_t = _pair_routing_args(batch)
                 (pred_o, pred_t, pred_hm), mut = module.apply(
-                    variables, opt["image"],
-                    batch["thermal"]["image"], True, optical_not_warped,
-                    None if is_o is None else is_o.reshape(-1),
-                    None if is_t is None else is_t.reshape(-1),
+                    variables, batch["optical"]["image"],
+                    batch["thermal"]["image"], True, not_warped, is_o, is_t,
                     method=module.forward_pair, mutable=mutable, rngs=rngs)
                 loss, comps = loss_fn(batch, pred_o, pred_t, pred_hm, rng_loss)
             else:
@@ -101,9 +107,10 @@ def make_eval_step(module, loss_fn, takes_pair=True):
             variables["batch_stats"] = state.batch_stats
         rng = jax.random.PRNGKey(0)
         if takes_pair:
+            not_warped, is_o, is_t = _pair_routing_args(batch)
             pred_o, pred_t, pred_hm = module.apply(
                 variables, batch["optical"]["image"],
-                batch["thermal"]["image"], False,
+                batch["thermal"]["image"], False, not_warped, is_o, is_t,
                 method=module.forward_pair)
             loss, comps = loss_fn(batch, pred_o, pred_t, pred_hm, rng)
         else:

@@ -207,16 +207,25 @@ class Trainer:
                 with self.mesh:
                     self.state, comps = self.train_step(self.state, dev_batch,
                                                         step_rng)
-                loss = float(comps['loss'])
-                epoch_losses.append(loss)
+                # keep losses on device: a float() here would force a
+                # host<->device round trip EVERY step, serializing dispatch
+                # against execution (reference analog: item() per batch,
+                # train.py:243 — on TPU that sync costs the whole pipelining
+                # win). Fetch only at log points and once per epoch.
+                epoch_losses.append(comps['loss'])
                 if self.writer and step % log_every == 0:
-                    self.writer.add_scalar('batch/loss', loss, step)
-                    for k, v in comps.items():
+                    host_comps = jax.device_get(comps)
+                    self.writer.add_scalar('batch/loss',
+                                           float(host_comps['loss']), step)
+                    for k, v in host_comps.items():
                         if k != 'loss':
                             self.writer.add_scalar(f'batch/{k}', float(v), step)
                 step += 1
 
-            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float('nan')
+            if epoch_losses:
+                mean_loss = float(np.mean(jax.device_get(epoch_losses)))
+            else:
+                mean_loss = float('nan')
             if self.writer:
                 self.writer.add_scalar('epoch/train_loss', mean_loss, epoch)
 
@@ -229,8 +238,9 @@ class Trainer:
                     dev_batch = shard_batch(dev_batch, self.mesh)
                     with self.mesh:
                         vloss, _ = self.eval_step(self.state, dev_batch)
-                    val_losses.append(float(vloss))
-                val_mean = float(np.mean(val_losses)) if val_losses else float('nan')
+                    val_losses.append(vloss)   # stays on device (see above)
+                val_mean = (float(np.mean(jax.device_get(val_losses)))
+                            if val_losses else float('nan'))
                 if self.writer:
                     self.writer.add_scalar('validation_loss', val_mean, epoch)
                 print(f"epoch {epoch}: validation loss {val_mean:.4f}",
