@@ -27,6 +27,24 @@ from ..utils import dict_update
 from ..geometry.homography import (sample_homography, compute_valid_mask,
                                    compute_valid_mask_device)
 from ..ops.warp import warp_image_batch, warp_image_multi
+from ..ops.warp_tiled import warp_image_multi_tiled, warp_image_batch_tiled
+
+
+def _warp_multi(images, Hmats, mode, padding_mode):
+    """HA warp dispatch: the tiled two-pass resampler when the spatial size
+    allows (multiple of its tile; XLA's gather path is ~1000x off roofline
+    on TPU), the exact gather warp otherwise."""
+    H, W = images.shape[1:3]
+    if H % 32 == 0 and W % 32 == 0:
+        return warp_image_multi_tiled(images, Hmats, mode, padding_mode)
+    return warp_image_multi(images, Hmats, mode, padding_mode)
+
+
+def _warp_batch(images, Hmats, mode, padding_mode):
+    H, W = images.shape[1:3]
+    if H % 32 == 0 and W % 32 == 0:
+        return warp_image_batch_tiled(images, Hmats, mode, padding_mode)
+    return warp_image_batch(images, Hmats, mode, padding_mode)
 
 
 HA_DEFAULT_CONFIG = {
@@ -194,7 +212,7 @@ def make_ha_fn(prob_fn, config=None, warp_batch=8):
             # spectra at once (index maps shared over batch AND channel —
             # ~3x fewer gather cycles than wb*B independent warps).
             stacked = jnp.concatenate([img_o, img_t], axis=-1)   # (B,H,W,2)
-            w = warp_image_multi(stacked, Hmats, "bilinear", "reflection")
+            w = _warp_multi(stacked, Hmats, "bilinear", "reflection")
             w = w.reshape((wb * B,) + w.shape[2:])               # (wb*B,H,W,2)
             po = maybe_smooth(prob_fn(w[..., :1], True))         # (wb*B,H,W)
             pt = maybe_smooth(prob_fn(w[..., 1:], False))
@@ -203,15 +221,15 @@ def make_ha_fn(prob_fn, config=None, warp_batch=8):
 
             Hinv = jnp.linalg.inv(Hmats)                         # (wb, 3, 3)
             # the valid masks don't vary over B: unwarp once per homography
-            count_sample = warp_image_batch(
+            count_sample = _warp_batch(
                 vmasks[..., None], Hinv, "nearest", "zeros")[..., 0]
             count_sample = count_sample[:, None]                 # (wb,1,H,W)
 
             def unwarp(p):                                       # (wb,B',H,W)
                 # B rides the channel axis so the inverse-warp gather's
                 # index maps are shared across the batch
-                u = warp_image_batch(p.transpose(0, 2, 3, 1), Hinv,
-                                     "bilinear", "zeros")
+                u = _warp_batch(p.transpose(0, 2, 3, 1), Hinv,
+                                "bilinear", "zeros")
                 return u.transpose(0, 3, 1, 2)
 
             if agg == 'window':
@@ -287,14 +305,14 @@ def homographic_adaptation(img, prob_fn, config=None, rng=None):
             prob, count = carry
             Hmat, vmask = inputs
             # shared-index warps: one gather covers the whole batch
-            w = warp_image_multi(img, Hmat[None], "bilinear", "reflection")[0]
+            w = _warp_multi(img, Hmat[None], "bilinear", "reflection")[0]
             p = maybe_smooth(prob_fn(w, True))
             Hinv = jnp.linalg.inv(Hmat)
-            count_sample = warp_image_batch(
+            count_sample = _warp_batch(
                 vmask[None, :, :, None], Hinv[None],
                 "nearest", "zeros")[0, ..., 0]                    # (H, W)
-            unwarped = warp_image_multi(p[..., None], Hinv[None],
-                                        "bilinear", "zeros")[0, ..., 0]
+            unwarped = _warp_multi(p[..., None], Hinv[None],
+                                   "bilinear", "zeros")[0, ..., 0]
             return (prob + unwarped * count_sample, count + count_sample), None
 
         (prob, count), _ = jax.lax.scan(body, (prob, count), (Hs, masks))
