@@ -72,6 +72,19 @@ def test_nnmatcher_dispatch():
         assert dist < 0.9
 
 
+def test_flann_dispatch_is_plain_nn():
+    """'flann' (reference: cv2 FlannBasedMatcher = approximate NN, no
+    cross-check, matching.py:10-19) dispatches to exact NN without
+    cross-check: every query keypoint gets its nearest target."""
+    infer = _tiny_infer({'method': 'flann'})
+    d1, d2 = _descs(seed=4)
+    matches = infer.match(d1, d2)
+    assert len(matches) == d1.shape[0]
+    dmat = np.sqrt(np.maximum(2 - 2 * np.clip(d1 @ d2.T, -1, 1), 0))
+    for q, t, dist in matches:
+        assert t == int(dmat[q].argmin())
+
+
 def test_disable_hmhead_model_override(tmp_path):
     """load_model(model_override=...) rebuilds without the hm head."""
     from xpoint_tpu.config import save_yaml

@@ -218,3 +218,116 @@ def test_vmamba_cascade2d_parity(tmp_path):
         torch.Tensor.view = orig_view
     prob, _ = _forward_jax(module, variables, img)
     np.testing.assert_allclose(prob, out_ref["prob"][:, 0].numpy(), atol=1e-3)
+
+
+def _fixed_forwardxv(self, x, **kwargs):
+    """Repaired reference SS2Dv3.forwardxv (VMamba.py:842-911) for the
+    channel-last path: the upstream code views dts to (B, L, -1) where
+    conv1d/selective_scan need (B, -1, L) (:874-877), feeds the channel-
+    last one_by_one tensors without the (B, H, W, 4, C) reshape its own
+    cross_scan_fn requires (the intended reshape survives as a commented
+    line at :868), and applies nn.Conv2d to channel-last input. This copy
+    fixes exactly those three mechanical defects, preserving the evident
+    semantics."""
+    import torch.nn.functional as F
+    from xpoint.models.vmamba_src.csm_triton import (cross_scan_fn,
+                                                     cross_merge_fn)
+    from xpoint.models.vmamba_src.csms6s import selective_scan_fn
+
+    B, H, W, _ = x.shape
+    L = H * W
+    nchw = lambda t: t.permute(0, 3, 1, 2).contiguous()
+    nhwc = lambda t: t.permute(0, 2, 3, 1).contiguous()
+
+    if self.iconv:
+        x = self.cact(nhwc(self.conv2d(nchw(x))))
+    elif self.cpos:
+        x = x + nhwc(self.conv2d(nchw(x)))
+    x = self.in_proj(x)
+    if self.oconv2:
+        x = nhwc(self.conv2d(nchw(x)))
+
+    us, dts, Bs, Cs = x.split(
+        [self.d_inner, self.dts_dim, 4 * self.d_state, 4 * self.d_state],
+        dim=-1)
+    _us = us
+    us = cross_scan_fn(us.contiguous(), in_channel_first=False,
+                       out_channel_first=True).view(B, -1, L)
+    Bs = cross_scan_fn(Bs.view(B, H, W, 4, -1).contiguous(),
+                       in_channel_first=False, out_channel_first=True,
+                       one_by_one=True).view(B, 4, -1, L)
+    Cs = cross_scan_fn(Cs.view(B, H, W, 4, -1).contiguous(),
+                       in_channel_first=False, out_channel_first=True,
+                       one_by_one=True).view(B, 4, -1, L)
+    one = self.dts_dim == 4 * self.dt_rank
+    dts_in = dts.view(B, H, W, 4, -1).contiguous() if one else dts.contiguous()
+    dts = cross_scan_fn(dts_in, in_channel_first=False,
+                        out_channel_first=True,
+                        one_by_one=one).view(B, -1, L)
+    if self.dts_dim in (self.dt_rank, 4 * self.dt_rank):
+        dts = F.conv1d(dts, self.dt_projs_weight.view(
+            4 * self.d_inner, self.dt_rank, 1), None, groups=4)
+
+    As = -self.A_logs.to(torch.float).exp()
+    Ds = self.Ds.to(torch.float)
+    delta_bias = self.dt_projs_bias.view(-1).to(torch.float)
+    ys = selective_scan_fn(us, dts, As, Bs, Cs, Ds, delta_bias, True,
+                           oflex=True, backend="torch").view(B, 4, -1, H, W)
+    y = cross_merge_fn(ys.contiguous(), in_channel_first=True,
+                       out_channel_first=True)
+    y = y.view(B, -1, L).transpose(1, 2).contiguous().view(B, H, W, -1)
+    y = self.out_norm(y)
+    y = y.to(x.dtype)
+    y = self.out_act(y)
+    if self.omul:
+        y = y * _us
+    if self.oconv:
+        y = y + self.cact(nhwc(self.oconv2d(nchw(_us))))
+    return self.dropout(self.out_proj(y))
+
+
+@pytest.mark.parametrize("ftype", ["xv1a", "xv2a", "xv3a_act_mul"])
+def test_vmamba_xv_parity(ftype, tmp_path):
+    """xv (SS2Dv3) forward-type parity vs the minimally-repaired reference
+    oracle (the upstream path is non-executable as written; see
+    _fixed_forwardxv)."""
+    import types
+    XPointRef = get_reference()
+    vssm_params = {
+        "DATA": {"IMG_SIZE": 512},
+        "MODEL": {"DROP_PATH_RATE": 0.2,
+                  "VSSM": {"DEPTHS": [1, 1, 1, 1], "EMBED_DIM": 32,
+                           "MLP_RATIO": 4.0, "PATCHEMBED": "v2",
+                           "DOWNSAMPLE": "v3", "SSM_CONV": 3,
+                           "SSM_CONV_BIAS": False, "SSM_DT_RANK": "auto",
+                           "SSM_D_STATE": 2,
+                           "SSM_FORWARDTYPE": ftype,
+                           "SSM_RATIO": 2.0}}}
+    yaml_file = tmp_path / "v.yaml"
+    yaml_file.write_text("MODEL:\n  TYPE: vssm\n")
+    cfg = {"multispectral": False,
+           "homography_regression_head": {"check": False},
+           "use_attention": {"check": True, "type": "VMamba",
+                             "height": 32, "width": 32,
+                             "model_parameters": vssm_params,
+                             "pretrained": {"check": True,
+                                            "yaml_file": str(yaml_file)}}}
+    ref = XPointRef(dict(cfg))
+    ref.eval()
+    # bind the repaired forward onto every SS2Dv3 op
+    n_bound = 0
+    for m in ref.modules():
+        if hasattr(m, "dts_dim"):
+            m.forward = types.MethodType(_fixed_forwardxv, m)
+            n_bound += 1
+    assert n_bound == 4
+
+    module, mcfg = build_xpoint(cfg)
+    variables = convert_torch_state_dict(ref.state_dict(), module, mcfg)
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(size=(1, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref.forward_impl({"image": torch.from_numpy(img)})
+    prob, _ = _forward_jax(module, variables, img)
+    np.testing.assert_allclose(prob, out_ref["prob"][:, 0].numpy(), atol=1e-3)

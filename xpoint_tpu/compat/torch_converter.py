@@ -139,18 +139,46 @@ def _convert_vssm(params, stats, enc_t, enc_path, sd, depths):
                 if f'{op}.conv2d.bias' in sd:
                     _set(params, p(bp, 'op', 'conv2d', 'bias'),
                          _f32(sd[f'{op}.conv2d.bias']))
-            _set(params, p(bp, 'op', 'x_proj_weight'),
-                 _f32(sd[f'{op}.x_proj_weight']))
+            is_xv = f'{op}.x_proj_weight' not in sd
+            if not is_xv:
+                _set(params, p(bp, 'op', 'x_proj_weight'),
+                     _f32(sd[f'{op}.x_proj_weight']))
             if f'{op}.dt_projs_weight' in sd:
-                # my dt weight param is stored pre-shift: dt_w_c = dt_w - R^-0.5
                 dtw = _f32(sd[f'{op}.dt_projs_weight'])
-                R = dtw.shape[-1]
-                _set(params, p(bp, 'op', 'dt_projs_weight'), dtw + R ** -0.5)
+                if is_xv:
+                    # SS2Dv3 stores the weight plain
+                    _set(params, p(bp, 'op', 'dt_projs_weight'), dtw)
+                else:
+                    # SS2D stores pre-shift: dt_w_c = dt_w - R^-0.5
+                    R = dtw.shape[-1]
+                    _set(params, p(bp, 'op', 'dt_projs_weight'),
+                         dtw + R ** -0.5)
             _set(params, p(bp, 'op', 'dt_projs_bias'),
                  _f32(sd[f'{op}.dt_projs_bias']))
             _set(params, p(bp, 'op', 'A_logs'), _f32(sd[f'{op}.A_logs']))
             _set(params, p(bp, 'op', 'Ds'), _f32(sd[f'{op}.Ds']))
-            _convert_ln(params, f'{op}.out_norm', p(bp, 'op', 'out_norm'), sd)
+            if f'{op}.oconv2d.weight' in sd:
+                w = np.asarray(sd[f'{op}.oconv2d.weight'], np.float32)
+                _set(params, p(bp, 'op', 'oconv2d', 'kernel'),
+                     np.transpose(w, (2, 3, 1, 0)))
+                if f'{op}.oconv2d.bias' in sd:
+                    _set(params, p(bp, 'op', 'oconv2d', 'bias'),
+                         _f32(sd[f'{op}.oconv2d.bias']))
+            if f'{op}.out_norm.weight' in sd:
+                _convert_ln(params, f'{op}.out_norm',
+                            p(bp, 'op', 'out_norm'), sd)
+            elif f'{op}.out_norm.0.weight' in sd:
+                # _oncnorm Sequential: LN at 0, dwconv at 2 (VMamba.py:686)
+                _convert_ln(params, f'{op}.out_norm.0',
+                            p(bp, 'op', 'out_norm'), sd)
+                w = np.asarray(sd[f'{op}.out_norm.2.weight'], np.float32)
+                _set(params, p(bp, 'op', 'out_norm_conv', 'kernel'),
+                     np.transpose(w, (2, 3, 1, 0)))
+            elif f'{op}.out_norm.1.weight' in sd:
+                # _ondwconv3 Sequential: dwconv at 1 (VMamba.py:693)
+                w = np.asarray(sd[f'{op}.out_norm.1.weight'], np.float32)
+                _set(params, p(bp, 'op', 'out_norm_conv', 'kernel'),
+                     np.transpose(w, (2, 3, 1, 0)))
             _convert_dense(params, f'{op}.out_proj', p(bp, 'op', 'out_proj'), sd)
             _convert_ln(params, f'{bt}.norm2', p(bp, 'norm2'), sd)
             _convert_dense(params, f'{bt}.mlp.fc1', p(bp, 'mlp', 'Dense_0'), sd)

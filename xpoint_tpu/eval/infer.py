@@ -85,6 +85,17 @@ class XPointInference:
             if method == 'nnmatcher':
                 match_thr = float(kwargs.get('threshold', 0.7))
                 cross = True
+            elif method == 'flann':
+                # reference 'flann' = cv2.FlannBasedMatcher (KDTree
+                # APPROXIMATE nearest neighbor, no cross-check,
+                # matching.py:10-19). On device we run the EXACT
+                # nearest-neighbor equivalent — a strict superset of what
+                # the KDTree approximates — announced, not silent.
+                cross = False
+                match_thr = None
+                print("matching method 'flann': using exact on-device "
+                      "nearest-neighbor (cv2 FLANN is an approximate NN; "
+                      "exact NN dominates it)", flush=True)
 
             @jax.jit
             def _match(d1, d2, m1, m2):

@@ -123,7 +123,11 @@ def detector_loss(logits, keypoint_map, valid_mask, config, rng=None):
     denom = jnp.maximum(valid.sum(axis=(1, 2)), 1.0)
     normalized = (loss_values.sum(axis=(1, 2)) / denom).mean()
 
-    # diagnostics (losses.py:492-555)
+    # diagnostics (losses.py:492-555). NOTE: multiplying the hard labels by
+    # the valid mask maps masked-out cells to class 0 (a keypoint class),
+    # skewing TP/FN under non-trivial masks — the reference does exactly
+    # this (losses.py:490 labels_hard_assigned * valid_mask), so the quirk
+    # is kept deliberately for parity of the reported ratios.
     pred_cls = jnp.argmax(logits, axis=-1)
     hard_masked = (labels_hard * valid).astype(jnp.int32)
     total = hard_masked.size
@@ -208,17 +212,18 @@ def descriptor_loss(desc1, desc2, homography1, homography2,
     w2 = warp_points(cells, inv2).reshape(B, Hc, Wc, 2) if inv2 is not None \
         else cells.reshape(B, Hc, Wc, 2)
 
-    # pairwise distances: (B, Hc, Wc[2], Hc, Wc[1]) matching the reference
-    # broadcast (warped1[b,:,:,None,None] - warped2[b,None,None,:,:])
-    dist = jnp.linalg.norm(
-        w1[:, None, None, :, :, :] - w2[:, :, :, None, None, :], axis=-1)
-    corr = (dist <= config['descriptor_loss_threshold']).astype(jnp.float32)
-
-    dot = jnp.einsum("bijd,bkld->bijkl",
-                     desc2, desc1, preferred_element_type=jnp.float32)
-    positive = lambda_d * corr * jnp.maximum(0.0, pos_margin - dot)
-    negative = (1 - corr) * jnp.maximum(0.0, dot - neg_margin)
-    loss = positive + negative
+    # pairwise hinge over all (cell2, cell1) pairs — the reference
+    # materializes the full (B, Hc, Wc, Hc, Wc) broadcast
+    # (losses.py:706-713), which is 64^4 = 16.8M floats/sample at 512^2.
+    # We stream chunks of the cell2 axis through a scan instead: identical
+    # sums (fp32 accumulation), peak memory (B, G, Hc*Wc) per chunk, so
+    # 512^2 pair training fits at production batch sizes.
+    N = Hc * Wc
+    D = desc1.shape[-1]
+    d1f = desc1.reshape(B, N, D)
+    d2f = desc2.reshape(B, N, D)
+    w1f = w1.reshape(B, N, 2)
+    w2f = w2.reshape(B, N, 2)
 
     if config['descriptor_loss_use_mask']:
         def cell_mask(vm):
@@ -226,19 +231,56 @@ def descriptor_loss(desc1, desc2, homography1, homography2,
                 return jnp.ones((B, Hc, Wc), jnp.float32)
             m = space_to_depth(vm.astype(jnp.float32), r)
             return jnp.prod(m, axis=-1)
-        m1 = cell_mask(valid_mask1).reshape(B, -1)
-        m2 = cell_mask(valid_mask2).reshape(B, -1)
-        vmask = jnp.einsum("bi,bj->bij", m2, m1).reshape(B, Hc, Wc, Hc, Wc)
-        loss = loss * vmask
-        positive = positive * vmask
-        negative = negative * vmask
-        norm = jnp.maximum(vmask.sum(axis=(1, 2, 3, 4)), 1.0)
+        m1 = cell_mask(valid_mask1).reshape(B, N)
+        m2 = cell_mask(valid_mask2).reshape(B, N)
     else:
-        norm = float(Hc * Wc * Hc * Wc)
+        m1 = m2 = None
 
-    total = (loss.sum(axis=(1, 2, 3, 4)) / norm).mean()
-    pos = (positive.sum(axis=(1, 2, 3, 4)) / norm).mean()
-    neg = (negative.sum(axis=(1, 2, 3, 4)) / norm).mean()
+    G = N
+    for g in range(min(512, N), 0, -1):        # largest chunk <= 512
+        if N % g == 0:
+            G = g
+            break
+    nc = N // G
+    thr = config['descriptor_loss_threshold']
+
+    def to_chunks(x):
+        return x.reshape(B, nc, G, *x.shape[2:]).transpose(
+            1, 0, 2, *range(3, x.ndim + 1))
+
+    chunks = (to_chunks(d2f), to_chunks(w2f),
+              to_chunks(m2) if m2 is not None else jnp.zeros((nc,)))
+
+    def body(acc, inp):
+        t_sum, p_sum, n_sum, v_sum = acc
+        d2c, w2c, m2c = inp                                   # (B, G, ...)
+        dist = jnp.linalg.norm(
+            w2c[:, :, None, :] - w1f[:, None, :, :], axis=-1)  # (B, G, N)
+        corr = (dist <= thr).astype(jnp.float32)
+        dot = jnp.einsum("bgd,bnd->bgn", d2c, d1f,
+                         preferred_element_type=jnp.float32)
+        positive = lambda_d * corr * jnp.maximum(0.0, pos_margin - dot)
+        negative = (1 - corr) * jnp.maximum(0.0, dot - neg_margin)
+        if m2 is not None:
+            vm = m2c[:, :, None] * m1[:, None, :]
+            positive = positive * vm
+            negative = negative * vm
+            v_sum = v_sum + vm.sum(axis=(1, 2))
+        p = positive.sum(axis=(1, 2))
+        n = negative.sum(axis=(1, 2))
+        return (t_sum + p + n, p_sum + p, n_sum + n, v_sum), None
+
+    zero = jnp.zeros((B,), jnp.float32)
+    (t_sum, p_sum, n_sum, v_sum), _ = jax.lax.scan(
+        body, (zero, zero, zero, zero), chunks)
+
+    if m2 is not None:
+        norm = jnp.maximum(v_sum, 1.0)
+    else:
+        norm = float(N * N)
+    total = (t_sum / norm).mean()
+    pos = (p_sum / norm).mean()
+    neg = (n_sum / norm).mean()
     return total, pos, neg
 
 

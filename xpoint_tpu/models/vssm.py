@@ -289,6 +289,165 @@ class SS2D(nn.Module):
                         kernel_init=_trunc_normal(), name="out_proj")(y)
 
 
+def _one_by_one_scan(x, H, W):
+    """cross_scan one_by_one=True (csm_triton.py): (B, H, W, 4*N) where
+    direction k OWNS channels [kN:(k+1)N], each laid out in its own scan
+    order -> (B, 4, L, N)."""
+    B = x.shape[0]
+    N = x.shape[-1] // 4
+    row = lambda v: v.reshape(B, H * W, N)
+    col = lambda v: v.transpose(0, 2, 1, 3).reshape(B, H * W, N)
+    parts = [x[..., k * N:(k + 1) * N] for k in range(4)]
+    return jnp.stack([row(parts[0]), col(parts[1]),
+                      jnp.flip(row(parts[2]), 1),
+                      jnp.flip(col(parts[3]), 1)], axis=1)
+
+
+def _dt_w_init(rank, scale=1.0):
+    """mamba_init.dt_init 'random': uniform(-R^-0.5*scale, R^-0.5*scale)."""
+    std = rank ** -0.5 * scale
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -std, std)
+    return init
+
+
+class SS2Dv3(nn.Module):
+    """xv forward types (reference SS2Dv3.forwardxv, VMamba.py:716-911):
+    the in_proj emits u, dt, AND the per-direction B/C planes directly
+    (no x_proj), with optional input/output depthwise convs.
+
+    NOTE: the upstream forwardxv is non-executable as written — the dts
+    relayout at VMamba.py:874 views to (B, L, -1) where conv1d and the
+    scan need (B, C, L). This module implements the evident intended
+    semantics (view (B, -1, L)); the parity test repairs the torch oracle
+    the same way (tests/test_torch_converter.py).
+
+    modes: xv1a (dt from a shared rank-R projection), xv2a (dt emitted at
+    full d_inner, no projection), xv3a (per-direction rank-R projections).
+    postfixes: _mul (gate by u), _act (GELU), _ca/_ca1 (SiLU/GELU conv
+    act), _ocov/_ocov2/_cpos (conv placement), _onnone/_ondwconv3/_oncnorm/
+    _onsoftmax/_onsigmoid (out-norm variants, VMamba.py:666-705).
+    """
+    d_model: int
+    d_state: int = 16
+    ssm_ratio: float = 2.0
+    dt_rank: Any = "auto"
+    d_conv: int = 3
+    conv_bias: bool = True
+    forward_type: str = "xv1a"
+    dtype: Any = jnp.float32
+    scan_backend: str = "assoc"
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        D = int(self.ssm_ratio * self.d_model)
+        N = self.d_state
+        R = int(math.ceil(self.d_model / 16)) if self.dt_rank == "auto" \
+            else self.dt_rank
+        L = H * W
+
+        ftype = self.forward_type
+        strip = lambda tag, v: (v.endswith(tag), v[:-len(tag)] if v.endswith(tag) else v)
+        onnone, ftype = strip("_onnone", ftype)
+        ondw, ftype = strip("_ondwconv3", ftype)
+        oncn, ftype = strip("_oncnorm", ftype)
+        onsm, ftype = strip("_onsoftmax", ftype)
+        onsg, ftype = strip("_onsigmoid", ftype)
+        omul, ftype = strip("_mul", ftype)
+        oact, ftype = strip("_act", ftype)
+        mode = ftype[:4]
+        assert mode in ("xv1a", "xv2a", "xv3a"), self.forward_type
+        rest = ftype[4:]
+        ca, rest = strip("_ca", rest)
+        ca1, rest = strip("_ca1", rest)
+        ocov2, rest = strip("_ocov2", rest)
+        ocov, rest = strip("_ocov", rest)
+        cpos, rest = strip("_cpos", rest)
+        iconv = self.d_conv > 1 and not (ocov or ocov2)
+        cact = nn.gelu if ca1 else (nn.silu if ca else (lambda v: v))
+
+        dts_dim = {"xv1a": R, "xv2a": D, "xv3a": 4 * R}[mode]
+        d_all = D + dts_dim + 8 * N
+
+        dw = lambda feats, name: nn.Conv(
+            feats, (self.d_conv, self.d_conv), feature_group_count=feats,
+            use_bias=self.conv_bias, padding=[(1, 1), (1, 1)],
+            dtype=self.dtype, name=name)
+
+        if iconv and self.d_conv > 1:
+            x = cact(dw(self.d_model, "conv2d")(x))
+        elif cpos and self.d_conv > 1:
+            x = x + dw(self.d_model, "conv2d")(x)
+        x = nn.Dense(d_all, use_bias=False, dtype=self.dtype,
+                     kernel_init=_trunc_normal(), name="in_proj")(x)
+        if ocov2 and self.d_conv > 1:
+            x = dw(d_all, "conv2d")(x)
+
+        us = x[..., :D]
+        dts = x[..., D:D + dts_dim]
+        BsF = x[..., D + dts_dim:D + dts_dim + 4 * N]
+        CsF = x[..., D + dts_dim + 4 * N:]
+        _us = us
+
+        us4 = cross_scan(us, 0)                             # (B, 4, L, D)
+        Bs4 = _one_by_one_scan(BsF, H, W)                   # (B, 4, L, N)
+        Cs4 = _one_by_one_scan(CsF, H, W)
+        if mode == "xv3a":
+            dts4 = _one_by_one_scan(dts, H, W)              # (B, 4, L, R)
+        else:
+            dts4 = cross_scan(dts, 0)                       # (B, 4, L, R|D)
+
+        A_logs = self.param("A_logs", _a_log_init, (4 * D, N), jnp.float32)
+        Ds = self.param("Ds", nn.initializers.ones, (4 * D,), jnp.float32)
+        dt_bias = self.param("dt_projs_bias", _dt_bias_init(), (4, D),
+                             jnp.float32)
+        if mode != "xv2a":
+            dt_w = self.param("dt_projs_weight", _dt_w_init(R), (4, D, R),
+                              jnp.float32)
+            dts4 = jnp.einsum("bklr,kdr->bkld", dts4, dt_w.astype(dts4.dtype))
+
+        u = us4.transpose(0, 1, 3, 2).reshape(B, 4 * D, L)
+        dt = dts4.transpose(0, 1, 3, 2).reshape(B, 4 * D, L)
+        ys = selective_scan(u, dt, -jnp.exp(A_logs),
+                            Bs4.transpose(0, 1, 3, 2),
+                            Cs4.transpose(0, 1, 3, 2), Ds,
+                            dt_bias.reshape(-1), True,
+                            backend=("assoc" if self.scan_backend == "pallas"
+                                     and N > 1 else self.scan_backend))
+        ys = ys.reshape(B, 4, D, L).transpose(0, 1, 3, 2)
+        y = cross_merge(ys, H, W, 0)                        # (B, H, W, D)
+
+        if onnone:
+            pass
+        elif oncn:
+            y = nn.LayerNorm(dtype=jnp.float32, name="out_norm")(y)
+            y = nn.Conv(D, (3, 3), feature_group_count=D, use_bias=False,
+                        padding=[(1, 1), (1, 1)], dtype=jnp.float32,
+                        name="out_norm_conv")(y)
+        elif ondw:
+            y = nn.Conv(D, (3, 3), feature_group_count=D, use_bias=False,
+                        padding=[(1, 1), (1, 1)], dtype=jnp.float32,
+                        name="out_norm_conv")(y)
+        elif onsm:
+            # SoftmaxSpatial over L (VMamba.py:152-161, dim=1 channel-last)
+            y = jax.nn.softmax(y.reshape(B, L, D), axis=1).reshape(
+                B, H, W, D)
+        elif onsg:
+            y = jax.nn.sigmoid(y)
+        else:
+            y = nn.LayerNorm(dtype=jnp.float32, name="out_norm")(y)
+        y = y.astype(x.dtype)
+        if oact:
+            y = nn.gelu(y)
+        if omul:
+            y = y * _us
+        if ocov and self.d_conv > 1:
+            y = y + cact(dw(D, "oconv2d")(_us))
+        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                        kernel_init=_trunc_normal(), name="out_proj")(y)
+
+
 class SS2Dm0(nn.Module):
     """Mamba-2 (SSD) variant of SS2D — reference SS2Dm0 (VMamba.py:915-1104):
     KR scalar-A heads of dim d_inner//R, chunked SSD scan, GELU activation,
@@ -387,11 +546,16 @@ class VSSBlock(nn.Module):
     use_m0: bool = False
     dtype: Any = jnp.float32
     scan_backend: str = "assoc"
+    xv_type: str = ""          # non-empty: SS2Dv3 forward type (xv1a/2a/3a)
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(x.dtype)
-        if self.use_m0:
+        if self.xv_type:
+            y = SS2Dv3(self.dim, self.d_state, self.ssm_ratio, self.dt_rank,
+                       self.ssm_conv, self.ssm_conv_bias, self.xv_type,
+                       self.dtype, self.scan_backend, name="op")(y)
+        elif self.use_m0:
             y = SS2Dm0(self.dim, self.d_state, self.ssm_ratio, self.dt_rank,
                        self.ssm_conv, self.ssm_conv_bias, self.disable_z,
                        self.disable_z_act, self.out_act, self.scan_mode,
@@ -430,6 +594,7 @@ class VSSM(nn.Module):
     in_chans: int = 3
     dtype: Any = jnp.float32
     scan_backend: str = "assoc"
+    xv_type: str = ""
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -444,11 +609,11 @@ class VSSM(nn.Module):
                np.linspace(0, self.drop_path_rate, sum(self.depths))]
 
         # patch embed v2: two stride-2 convs with explicit torch-style
-        # padding (conv1 stays a plain conv: s2d-ing the full-res input
-        # costs more in relayout than the conv saves)
-        x = nn.Conv(self.embed_dim // 2, (3, 3), strides=(2, 2),
-                    padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                    name="patch_embed_conv1")(x)
+        # padding, both in s2d form (profiled: the plain thin-channel
+        # stride-2 conv1 runs ~11x off the HBM roofline; s2d's relayout of
+        # the small input is far cheaper than what the conv form wastes)
+        x = _StridedConv3x3(self.embed_dim // 2, dtype=self.dtype,
+                            name="patch_embed_conv1")(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="patch_embed_norm1")(x).astype(self.dtype)
         x = nn.gelu(x)
         x = _StridedConv3x3(self.embed_dim, dtype=self.dtype,
@@ -463,7 +628,7 @@ class VSSM(nn.Module):
                              self.ssm_conv_bias, self.mlp_ratio,
                              self.disable_z, self.disable_z_act,
                              self.out_act, self.scan_mode, self.use_m0,
-                             self.dtype, self.scan_backend,
+                             self.dtype, self.scan_backend, self.xv_type,
                              name=f"layers_{i_layer}_blocks_{d}")(x, deterministic)
                 block_idx += 1
             if i_layer < len(self.depths) - 1:
@@ -491,6 +656,7 @@ def build_vssm_from_config(vssm_cfg, dtype=jnp.float32, scan_backend="assoc"):
     base = ftype.split("_")[0]
     scan_mode = {"v051d": 1, "v052d": 2, "v052dc": -1}.get(base, 0)
     use_m0 = base.startswith("m")
+    xv_type = ftype if base.startswith("xv") else ""
     if use_m0:
         # m0 keeps the gate unless _noz; reference defaults d_state=64
         pass
@@ -511,4 +677,5 @@ def build_vssm_from_config(vssm_cfg, dtype=jnp.float32, scan_backend="assoc"):
         use_m0=use_m0,
         dtype=dtype,
         scan_backend=scan_backend,
+        xv_type=xv_type,
     )
