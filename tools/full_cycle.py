@@ -1,0 +1,283 @@
+"""Full self-supervised cycle on the deterministic mini-corpus, end to end:
+
+    1. generate the mini corpus (tools/make_mini_corpus.py, seeds fixed),
+    2. synthetic-shapes pretrain a detector          (reference train.py),
+    3. homographic-adaptation label export      (export_keypoints.py flow),
+    4. pair training with descriptors              (cmt.yaml-style config),
+    5. registration evaluation                        (benchmark.py -e),
+
+then write the resulting metrics (repeatability / MMA / NN-mAP /
+h-correctness sweeps in the reference benchmark.py JSON schema) to
+metrics/mini_corpus_metrics.json. The MULTIPOINT corpus is not
+downloadable in this environment (zero egress), so this is the committed,
+reproducible stand-in for the real-data benchmark:
+
+    python tools/full_cycle.py --work /tmp/cycle
+
+Reference flow being reproduced: README.md Training/Evaluation sections
+(synthetic pretrain -> export_keypoints.py -> train.py -> benchmark.py).
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+SYNTH_CFG = """
+dataset:
+    type: 'SyntheticShapes'
+    primitives: 'all'
+    length: 1500
+    processing:
+        blur_size: 21
+        additional_ir_blur: true
+        additional_ir_blur_size: 51
+    augmentation:
+        photometric:
+            enable: true
+            primitives: ['random_brightness', 'random_contrast',
+                         'additive_speckle_noise', 'additive_gaussian_noise']
+            params:
+                random_brightness: {max_abs_change: 0.15}
+                random_contrast: {strength_range: [0.3, 1.8]}
+                additive_gaussian_noise: {stddev_range: [0, 0.06]}
+                additive_speckle_noise: {prob_range: [0, 0.0035]}
+        homographic:
+            enable: false
+model:
+    type: 'XPoint'
+    multispectral: true
+    descriptor_head: false
+    final_batchnorm: true
+    reflection_pad: true
+    takes_pair: false
+    homography_regression_head:
+        check: false
+loss:
+    type: 'XPointLoss'
+    detector_loss: true
+    detector_loss_function: 'cross_entropy'
+    detector_handle_multiple_keypoints: 'soft_assignment'
+    detector_dustbin_loss_weight: 0.025
+    descriptor_loss: false
+training:
+    batchsize: 16
+    learningrate: 1e-3
+    n_epochs: {synth_epochs}
+    output_directory: {work}/synthetic-pretrain
+    save_every_n_epoch: 0
+    use_writer: false
+"""
+
+EXPORT_CFG = """
+dataset:
+    type: 'ImagePairDataset'
+    filename: {work}/corpus/training.hdf5
+    single_image: false
+    augmentation:
+        photometric:
+            enable: false
+        homographic:
+            enable: false
+prediction:
+    allow_gpu: true
+    num_worker: 0
+    batchsize: 1
+    detection_threshold: 0.015
+    nms: 4
+    reprojection_threshold: 3
+homographic_adaptation:
+    num: {ha_num}
+    aggregation: 'window'
+    min_count: 2
+    erosion_radius: 5
+    mask_border: true
+    homographies:
+        translation: true
+        rotation: true
+        scaling: true
+        perspective: true
+        scaling_amplitude: 0.15
+        perspective_amplitude_x: 0.15
+        perspective_amplitude_y: 0.15
+        patch_ratio: 0.9
+        max_angle: 3.14159
+        allow_artifacts: true
+"""
+
+PAIR_CFG = """
+dataset:
+    type: 'ImagePairDataset'
+    filename: {work}/corpus/training.hdf5
+    keypoints_filename: {work}/labels.hdf5
+    single_image: false
+    random_pairs: false
+    height: 256
+    width: 256
+    augmentation:
+        photometric:
+            enable: false
+        homographic:
+            enable: true
+            params:
+                translation: true
+                rotation: true
+                scaling: true
+                perspective: true
+                scaling_amplitude: 0.2
+                perspective_amplitude_x: 0.2
+                perspective_amplitude_y: 0.2
+                patch_ratio: 0.85
+                max_angle: 1.57
+                allow_artifacts: true
+                translation_overflow: 0.05
+            valid_border_margin: 0
+            border_reflect: true
+model:
+    type: 'XPoint'
+    multispectral: false
+    descriptor_head: true
+    descriptor_size: 256
+    intepolation_mode: bilinear
+    normalize_descriptors: true
+    final_batchnorm: true
+    reflection_pad: true
+    mixed_precision: true
+    takes_pair: true
+    homography_regression_head:
+        check: false
+loss:
+    type: 'XPointLoss'
+    detector_loss: true
+    detector_loss_function: 'cross_entropy'
+    detector_handle_multiple_keypoints: 'soft_assignment'
+    detector_dustbin_loss_weight: 0.025
+    descriptor_loss: true
+    descriptor_loss_threshold: 4.0
+    descriptor_loss_use_mask: true
+    sparse_descriptor_loss: false
+    positive_margin: 1.0
+    negative_margin: 0.2
+    lambda_d: 250
+    lambda: 1.0
+training:
+    batchsize: 8
+    learningrate: 1e-4
+    n_epochs: {pair_epochs}
+    output_directory: {work}/pair-train
+    save_every_n_epoch: 0
+    use_writer: false
+"""
+
+EVAL_CFG = """
+dataset:
+    type: 'ImagePairDataset'
+    filename: {work}/corpus/test.hdf5
+    keypoints_filename:
+    single_image: false
+    random_pairs: false
+    height: 256
+    width: 256
+    augmentation:
+        photometric:
+            enable: false
+        homographic:
+            enable: true
+            params:
+                translation: true
+                rotation: true
+                scaling: true
+                perspective: true
+                scaling_amplitude: 0.1
+                perspective_amplitude_x: 0.05
+                perspective_amplitude_y: 0.05
+                patch_ratio: 0.90
+                max_angle: 1.57
+                allow_artifacts: true
+                translation_overflow: 0.05
+            valid_border_margin: 4
+            border_reflect: true
+prediction:
+    disable_hmhead: true
+    allow_gpu: true
+    num_worker: 0
+    batchsize: 1
+    detection_threshold: 0.015
+    nms: 8
+    topk: 0
+    reprojection_threshold: 3
+    matching:
+        method: bfmatcher
+        method_kwargs:
+            crossCheck: True
+        knn_matches: False
+"""
+
+
+def sh(cmd, **kw):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO, **kw)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--work', default='/tmp/cycle')
+    ap.add_argument('--n-train', type=int, default=32)
+    ap.add_argument('--n-test', type=int, default=16)
+    ap.add_argument('--size', type=int, default=512)
+    ap.add_argument('--synth-epochs', type=int, default=60)
+    ap.add_argument('--pair-epochs', type=int, default=150)
+    ap.add_argument('--ha-num', type=int, default=50)
+    ap.add_argument('--out', default='metrics/mini_corpus_metrics.json')
+    args = ap.parse_args()
+    w = args.work
+    os.makedirs(w, exist_ok=True)
+    py = sys.executable
+
+    def cfg(tpl, name, **fmt):
+        # plain substitution (str.format would choke on YAML flow braces)
+        body = tpl.replace('{work}', w)
+        for k, v in fmt.items():
+            body = body.replace('{%s}' % k, str(v))
+        path = os.path.join(w, name)
+        with open(path, 'w') as f:
+            f.write(body)
+        return path
+
+    # 1. corpus
+    sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
+        '--n-train', str(args.n_train), '--n-test', str(args.n_test),
+        '--size', str(args.size)])
+    # 2. synthetic pretrain
+    sh([py, 'cli/train.py', '-y',
+        cfg(SYNTH_CFG, 'synth.yaml', synth_epochs=args.synth_epochs)])
+    # 3. HA label export
+    sh([py, 'cli/export_keypoints.py', '-y',
+        cfg(EXPORT_CFG, 'export.yaml', ha_num=args.ha_num),
+        '-o', f'{w}/labels.hdf5', '-m', f'{w}/synthetic-pretrain'])
+    # 4. pair training
+    sh([py, 'cli/train.py', '-y',
+        cfg(PAIR_CFG, 'pair.yaml', pair_epochs=args.pair_epochs)])
+    # 5. evaluation sweep (reference benchmark.py -e JSON schema)
+    sh([py, 'cli/benchmark.py', '-y', cfg(EVAL_CFG, 'eval.yaml'),
+        '-m', f'{w}/pair-train', '-e', '-o', f'{w}/outputs'])
+
+    # collect the newest results JSON
+    outs = sorted(
+        (os.path.join(r, f) for r, _, fs in os.walk(f'{w}/outputs')
+         for f in fs if f.endswith('.json')), key=os.path.getmtime)
+    assert outs, "benchmark produced no JSON"
+    os.makedirs(os.path.dirname(os.path.join(REPO, args.out)), exist_ok=True)
+    shutil.copy(outs[-1], os.path.join(REPO, args.out))
+    with open(outs[-1]) as f:
+        res = json.load(f)
+    print(json.dumps({k: res[k] for k in list(res)[:12]}, indent=1)[:2000])
+    print(f"metrics written to {args.out}", flush=True)
+
+
+if __name__ == '__main__':
+    main()

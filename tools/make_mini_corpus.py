@@ -1,0 +1,84 @@
+"""Generate the deterministic multispectral mini-corpus.
+
+The driver environment has no network access and no released MULTIPOINT
+data (cli/download_multipoint_data.py needs egress; reference
+download_multipoint_data.py:6-10), so registration metrics (MMA@3px,
+h-correctness) are reported on this checked-in-reproducible corpus: 64
+synthetic 512x512 optical/pseudo-thermal pairs with a non-trivial
+photometric gap (nonlinear intensity remap + IR blur + speckle, mirroring
+the reference SyntheticShapes IR processing, synthetic_dataset.py) plus
+16 held-out test pairs. Regenerate with:
+
+    python tools/make_mini_corpus.py [--out data/mini_corpus]
+
+Pairs are stored in the ImagePairDataset HDF5 layout (one group per
+sample with 'optical'/'thermal' float images in [0, 1]).
+"""
+import argparse
+import os
+
+import numpy as np
+import h5py
+import cv2
+
+from xpoint_tpu.data import draw_primitives as dp
+
+
+GENERATORS = [dp.draw_lines, dp.draw_polygon, dp.draw_multiple_polygons,
+              dp.draw_ellipses, dp.draw_star, dp.draw_checkerboard,
+              dp.draw_stripes, dp.draw_cube]
+
+
+def optical_image(rng, shape=(512, 512)):
+    # the drawing primitives use the global generators (reference
+    # synthetic_dataset parity) — seed them deterministically per image
+    import random as _random
+    seed = int(rng.integers(2 ** 31))
+    _random.seed(seed)
+    np.random.seed(seed)
+    img = dp.generate_background(shape)
+    gen = GENERATORS[rng.integers(len(GENERATORS))]
+    gen(img)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def pseudo_thermal(opt, rng):
+    """Nonlinear spectral gap: inverted gamma remap + strong blur (the
+    reference's additional_ir_blur, synthetic_dataset.py) + speckle."""
+    g = 0.6 + 0.8 * rng.uniform()
+    t = 1.0 - np.power(opt, g)
+    t = cv2.GaussianBlur(t, (51, 51), 0)
+    t = np.clip(t + rng.normal(0, 0.03, t.shape), 0, 1)
+    lo, hi = t.min(), t.max()
+    return ((t - lo) / max(hi - lo, 1e-6)).astype(np.float32)
+
+
+def write_split(path, n, rng, shape=(512, 512)):
+    with h5py.File(path, 'w') as f:
+        for i in range(n):
+            opt = optical_image(rng, shape)
+            th = pseudo_thermal(opt, rng)
+            grp = f.create_group(f"sample_{i:04d}")
+            grp.create_dataset('optical', data=opt)
+            grp.create_dataset('thermal', data=th)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='data/mini_corpus')
+    ap.add_argument('--n-train', type=int, default=64)
+    ap.add_argument('--n-test', type=int, default=16)
+    ap.add_argument('--size', type=int, default=512)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    shape = (args.size, args.size)
+    write_split(os.path.join(args.out, 'training.hdf5'), args.n_train,
+                np.random.default_rng(0), shape)
+    write_split(os.path.join(args.out, 'test.hdf5'), args.n_test,
+                np.random.default_rng(1), shape)
+    print(f"mini corpus written to {args.out} "
+          f"({args.n_train} train / {args.n_test} test pairs @{args.size})")
+
+
+if __name__ == '__main__':
+    main()

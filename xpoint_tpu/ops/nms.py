@@ -57,12 +57,14 @@ def _grid_nms_keep(prob, valid, size, iou):
     neg = jnp.float32(-1.0)
 
     def neighbor_max(S):
-        # horizontal running max per distinct width
+        # horizontal running max per distinct width (reduce_window), then a
+        # vertical combine of shifted row maxes — the shifts are pad+slice
+        # ops XLA fuses into one loop fusion, measurably faster than
+        # stacking vertical reduce_windows (which do not fuse)
         row_max = {}
         for w in sorted({w for w in widths if w >= 0}):
             row_max[w] = jax.lax.reduce_window(
                 S, neg, jax.lax.max, (1, 1, 2 * w + 1), (1, 1, 1), "SAME")
-        # vertical combine: shift each row-max by dy and take the max
         out = jnp.full_like(S, neg)
         for dy in range(-(size - 1), size):
             w = widths[abs(dy)]
