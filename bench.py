@@ -94,11 +94,20 @@ def main():
     print(f"# pipelined steady-state: {dt*1000:.1f} ms/batch of {B} pairs "
           f"({int(outs[-1]['matched'].sum())} matches)", flush=True)
 
+    # Reference-chain comparison. The reference repo publishes no numbers
+    # (BASELINE.md) and no GPU exists in this environment; the only locally
+    # measurable reference number is its own flagship two_forward chain on
+    # the host CPU: 14.42 s/pair = 0.069 pairs/s @512^2 (torch 2.x, eager,
+    # fp32; measured via tests/reference_oracle.py on 2026-08-16 — NMS and
+    # matching stages EXCLUDED, which favors the reference). vs_baseline is
+    # our full-chain TPU-chip throughput over that number; see README
+    # "Benchmarks" for the GPU-target arithmetic.
+    ref_cpu_pairs_s = 0.069
     print(json.dumps({
         "metric": "optical-thermal pairs/sec (detect+describe+match) at 512^2",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
-        "vs_baseline": None,
+        "vs_baseline": round(pairs_per_sec / ref_cpu_pairs_s, 1),
     }))
 
 

@@ -47,7 +47,10 @@ def pseudo_thermal(opt, rng):
     reference's additional_ir_blur, synthetic_dataset.py) + speckle."""
     g = 0.6 + 0.8 * rng.uniform()
     t = 1.0 - np.power(opt, g)
-    t = cv2.GaussianBlur(t, (51, 51), 0)
+    # blur strength: enough to create a real spectral gap without erasing
+    # the structures descriptors must anchor to (51x51 at 512^2 left the
+    # pseudo-thermal side featureless and the pair task unlearnable)
+    t = cv2.GaussianBlur(t, (15, 15), 0)
     t = np.clip(t + rng.normal(0, 0.03, t.shape), 0, 1)
     lo, hi = t.min(), t.max()
     return ((t - lo) / max(hi - lo, 1e-6)).astype(np.float32)

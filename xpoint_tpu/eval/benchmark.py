@@ -48,11 +48,14 @@ def timing_harness(infer, dataset, indices, config, n_warmup=1):
 
         t1 = time.time()
         out = infer._forward_pair(infer.variables, img_o, img_t)
-        jax.block_until_ready(out)
-        t2 = time.time()
-        time_dict["two_forward"].append(t2 - t1)
+        # fence with the device->host fetch: under the dev tunnel
+        # block_until_ready is NOT a reliable execution fence
+        # (.claude/skills/verify/SKILL.md), so the stage is timed through
+        # the fetch like the reference's cuda-synchronized numbers
         prob_o, prob_t, desc_o, desc_t, _ = [
             None if o is None else np.asarray(o) for o in out]
+        t2 = time.time()
+        time_dict["two_forward"].append(t2 - t1)
 
         t2 = time.time()
         if pred_cfg['nms'] > 0:

@@ -48,16 +48,21 @@ def _box(x):
     return (jnp.abs(x) <= 0.5).astype(jnp.float32)
 
 
-def _warp_one(img_pad, Hinv, ny, nx, tile, pad, mode):
+def _warp_one(img_pad, Hinv, ny, nx, tile, pad, mode, win=None):
     """Warp a reflect/zero-PREPADDED (Hp, Wp, C) source by one homography
     (Hinv maps UNPADDED dst pixel -> UNPADDED src pixel). Output tiling is
-    (ny, nx) tiles of `tile`; returns (ny*tile, nx*tile, C)."""
+    (ny, nx) tiles of `tile`; returns (ny*tile, nx*tile, C).
+
+    win: source window side. Must cover the worst source span of a T-tile
+    (T*scale*(|cos|+|sin|) + hat support); beyond it, weights vanish and
+    the pixel reads 0. The caller picks 2T+16 (scale <= ~1.6, the common
+    case) or 4T+16 (up to ~2.8, seen near patch corners at perspective
+    0.15) from the homography's local scale.
+    """
     Hp, Wp, C = img_pad.shape
     T = tile
-    # worst-case source span of a T-tile: local scale up to ~2.8 occurs in
-    # the sampled family (perspective 0.15 near patch corners), so the
-    # window covers 4T; beyond that, weights vanish and the pixel reads 0
-    win = 4 * T + 16
+    if win is None:
+        win = 4 * T + 16
     kern = _hat if mode == "bilinear" else _box
 
     def src_xy(xd, yd):
@@ -111,7 +116,9 @@ def _warp_one(img_pad, Hinv, ny, nx, tile, pad, mode):
         out_t = jnp.einsum("txu,tuc->txc", w2, tmp)            # (T, T, C)
         return carry, out_t
 
-    _, tiles = jax.lax.scan(one_tile, 0, jnp.arange(ny * nx))
+    # unroll: the per-iteration while-loop overhead (~16 us: buffer swaps,
+    # dynamic_slice/update setup) dominates the ~3 us of tile compute
+    _, tiles = jax.lax.scan(one_tile, 0, jnp.arange(ny * nx), unroll=8)
     tiles = tiles.reshape(ny, nx, T, T, C)
     return tiles.transpose(0, 2, 1, 3, 4).reshape(ny * T, nx * T, C)
 
@@ -170,19 +177,47 @@ def _warp_one_oriented(src, src_rot, Q, Hinv, H, W, ny, nx, tile, pad, mode):
     """One homography with the bottleneck-avoiding orientation choice:
     x-first two-pass degenerates when |dxs/dxd| -> 0 (rotation near +-90
     deg); compose with the source pre-rotation instead, which turns
-    dxs_r/dxd into dys/dxd (the dominant derivative there)."""
+    dxs_r/dxd into dys/dxd (the dominant derivative there). Also picks the
+    source-window size from the local scale (small window = ~3x fewer
+    contraction FLOPs for the common scale <= ~1.6 case); only ONE of the
+    four branches executes per homography (lax.cond under lax.scan).
+    """
+    def jac(px, py):
+        den = Hinv[2, 0] * px + Hinv[2, 1] * py + Hinv[2, 2]
+        sx = (Hinv[0, 0] * px + Hinv[0, 1] * py + Hinv[0, 2]) / den
+        sy = (Hinv[1, 0] * px + Hinv[1, 1] * py + Hinv[1, 2]) / den
+        return jnp.stack([
+            jnp.stack([(Hinv[0, 0] - Hinv[2, 0] * sx) / den,
+                       (Hinv[0, 1] - Hinv[2, 1] * sx) / den]),
+            jnp.stack([(Hinv[1, 0] - Hinv[2, 0] * sy) / den,
+                       (Hinv[1, 1] - Hinv[2, 1] * sy) / den])])
+
     cxm = (W - 1) / 2.0
     cym = (H - 1) / 2.0
-    den = Hinv[2, 0] * cxm + Hinv[2, 1] * cym + Hinv[2, 2]
-    j11 = (Hinv[0, 0] - Hinv[2, 0] * (Hinv[0, 0] * cxm + Hinv[0, 1] * cym
-                                      + Hinv[0, 2]) / den) / den
-    j21 = (Hinv[1, 0] - Hinv[2, 0] * (Hinv[1, 0] * cxm + Hinv[1, 1] * cym
-                                      + Hinv[1, 2]) / den) / den
-    rotate = jnp.abs(j11) < jnp.abs(j21)
+    j = jac(cxm, cym)
+    rotate = jnp.abs(j[0, 0]) < jnp.abs(j[1, 0])
+    # conservative local-scale bound: max abs Jacobian row sum (L_inf
+    # operator norm) probed at the center and the four corners (perspective
+    # makes the scale strongly position-dependent), x1.15 margin
+    probes = jnp.stack([jac(px, py) for px, py in
+                        [(cxm, cym), (0.0, 0.0), (W - 1.0, 0.0),
+                         (0.0, H - 1.0), (W - 1.0, H - 1.0)]])
+    scale = jnp.max(jnp.abs(probes).sum(axis=-1)) * 1.15
+    small = scale * tile + 18.0 <= 2 * tile + 16
+
+    def run(s, Hm, w):
+        return _warp_one(s, Hm, ny, nx, tile, pad, mode, win=w)
+
     return jax.lax.cond(
         rotate,
-        lambda: _warp_one(src_rot, Q @ Hinv, ny, nx, tile, pad, mode),
-        lambda: _warp_one(src, Hinv, ny, nx, tile, pad, mode))
+        lambda: jax.lax.cond(
+            small,
+            lambda: run(src_rot, Q @ Hinv, 2 * tile + 16),
+            lambda: run(src_rot, Q @ Hinv, 4 * tile + 16)),
+        lambda: jax.lax.cond(
+            small,
+            lambda: run(src, Hinv, 2 * tile + 16),
+            lambda: run(src, Hinv, 4 * tile + 16)))
 
 
 @partial(jax.jit, static_argnames=("mode", "padding_mode", "tile"))
