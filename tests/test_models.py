@@ -112,3 +112,26 @@ def test_vssm_m0_forward():
     y = model.apply(params, x)
     assert y.shape == (1, 8, 8, 16)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_batched_pair_forward_matches_separate():
+    """Shared-encoder eval-mode forward_pair stacks both spectra into one
+    pass; results must equal two separate forwards exactly (eval-mode BN
+    uses running statistics, so batching is semantics-preserving)."""
+    module, cfg = build_xpoint({"multispectral": False,
+                                "descriptor_head": True,
+                                "homography_regression_head": {"check": False}})
+    rng = np.random.default_rng(3)
+    img_o = jnp.asarray(rng.uniform(size=(2, 64, 64, 1)), jnp.float32)
+    img_t = jnp.asarray(rng.uniform(size=(2, 64, 64, 1)), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), img_o,
+                            method=module.init_all)
+    po, pt, _ = module.apply(variables, img_o, img_t,
+                             method=module.forward_pair)
+    so = module.apply(variables, img_o, "optical")
+    st = module.apply(variables, img_t, "thermal")
+    for k in ("logits", "desc"):
+        np.testing.assert_allclose(np.asarray(po[k]), np.asarray(so[k]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pt[k]), np.asarray(st[k]),
+                                   atol=1e-5)

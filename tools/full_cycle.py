@@ -31,7 +31,8 @@ SYNTH_CFG = """
 dataset:
     type: 'SyntheticShapes'
     primitives: 'all'
-    length: 1500
+    on-the-fly: false
+    hdf5-file: {work}/synthetic.hdf5
     processing:
         blur_size: 21
         additional_ir_blur: true
@@ -230,6 +231,7 @@ def main():
     ap.add_argument('--n-test', type=int, default=16)
     ap.add_argument('--size', type=int, default=512)
     ap.add_argument('--synth-epochs', type=int, default=60)
+    ap.add_argument('--synth-samples', type=int, default=1500)
     ap.add_argument('--pair-epochs', type=int, default=150)
     ap.add_argument('--ha-num', type=int, default=50)
     ap.add_argument('--out', default='metrics/mini_corpus_metrics.json')
@@ -252,6 +254,24 @@ def main():
     sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
         '--n-train', str(args.n_train), '--n-test', str(args.n_test),
         '--size', str(args.size)])
+    # 1b. pre-generate the synthetic-shapes set once (on-the-fly generation
+    # costs ~100 ms/sample on the host — regenerating every epoch would
+    # dominate the whole cycle; cached HDF5 keeps only the cheap
+    # photometric augmentation per epoch)
+    if not os.path.exists(f'{w}/synthetic.hdf5'):
+        pregen = (
+            "import h5py, numpy as np, random;"
+            "from xpoint_tpu.data.synthetic_shapes import SyntheticShapes;"
+            "random.seed(0); np.random.seed(0);"
+            "ds = SyntheticShapes({'primitives': 'all'});"
+            "f = h5py.File(%r, 'w');\n"
+            "for i in range(%d):\n"
+            "    img, kp, _ = ds.generate_synthetic_image(i)\n"
+            "    g = f.create_group('s%%05d' %% i)\n"
+            "    g.create_dataset('image', data=(img * 255).astype('uint8'))\n"
+            "    g.create_dataset('points', data=np.asarray(kp, 'float32'))\n"
+            "f.close()" % (f'{w}/synthetic.hdf5', args.synth_samples))
+        sh([py, '-c', pregen])
     # 2. synthetic pretrain
     sh([py, 'cli/train.py', '-y',
         cfg(SYNTH_CFG, 'synth.yaml', synth_epochs=args.synth_epochs)])

@@ -54,7 +54,7 @@ def _grid_nms_keep(prob, valid, size, iou):
     Returns keep: (B, H, W) bool.
     """
     widths = _overlap_widths(size, iou)
-    neg = jnp.float32(-1.0)
+    neg = jnp.float32(-jnp.inf)   # below any real score
 
     def neighbor_max(S):
         # horizontal running max per distinct width (reduce_window), then a
