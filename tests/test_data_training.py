@@ -173,3 +173,57 @@ def test_validation_loss_logging(tmp_path):
     trainer = Trainer(config, str(tmp_path / "run"), n_devices=2)
     assert trainer.val_loader is not None
     trainer.train(n_epochs=1, max_steps_per_epoch=1)
+
+
+def test_eval_step_routes_spectra_like_train_step():
+    """Validation under random_pairs shuffling must route each sample
+    through its spectrum's encoder exactly like the train step (round-1
+    gap: make_eval_step ignored is_optical and sent everything through the
+    defaults)."""
+    import jax
+    import jax.numpy as jnp
+    from xpoint_tpu.models import build_xpoint
+    from xpoint_tpu.losses import XPointLoss
+    from xpoint_tpu.parallel.train_step import make_eval_step, TrainState
+    import optax
+
+    module, _ = build_xpoint({"multispectral": True,
+                              "descriptor_head": False,
+                              "homography_regression_head": {"check": False}})
+    rng = np.random.default_rng(0)
+    B, H, W = 2, 32, 32
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 1)), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), img,
+                            method=module.init_all)
+    loss_fn = XPointLoss({"detector_loss_function": "cross_entropy",
+                          "detector_handle_multiple_keypoints":
+                              "soft_assignment",
+                          "descriptor_loss": False})
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats"),
+                              optax.adam(1e-3))
+    eye = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+
+    def batch(flip):
+        # random_pairs-style shuffle: the "optical" slot holds a thermal
+        # sample for item 1 when flip=True
+        return {
+            "optical": {"image": np.asarray(img),
+                        "keypoints": (rng.uniform(size=(B, H, W)) > .97
+                                      ).astype(np.float32),
+                        "valid_mask": np.ones((B, H, W), np.float32),
+                        "homography": eye,
+                        "is_optical": np.array([True, not flip])},
+            "thermal": {"image": np.asarray(img),
+                        "keypoints": (rng.uniform(size=(B, H, W)) > .97
+                                      ).astype(np.float32),
+                        "valid_mask": np.ones((B, H, W), np.float32),
+                        "homography": eye,
+                        "is_optical": np.array([False, flip])},
+        }
+
+    eval_step = make_eval_step(module, loss_fn, takes_pair=True)
+    l_plain, _ = eval_step(state, batch(False))
+    l_flip, _ = eval_step(state, batch(True))
+    # routing must change which encoder sees item 1 -> different loss
+    assert abs(float(l_plain) - float(l_flip)) > 1e-6
