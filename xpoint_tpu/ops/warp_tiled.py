@@ -38,6 +38,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _hat(x):
@@ -46,6 +48,156 @@ def _hat(x):
 
 def _box(x):
     return (jnp.abs(x) <= 0.5).astype(jnp.float32)
+
+
+def _align_down(x, m):
+    return (x // m) * m
+
+
+def _tile_params(shape_cm, Hinv, ny, nx, tile, pad, win, win_y_al, win_x_al):
+    """Vectorized per-tile parameters for the Pallas two-pass warp.
+
+    DMA windows must be tile-aligned in HBM (sublane starts/extents x8,
+    lane x128), so the kernel fetches an ALIGNED (win_y_al, win_x_al)
+    window and rolls lanes by the true x-offset. Returns, per tile:
+    wy_al/wx_al (nt,) aligned window origins (padded-canvas frame),
+    xoff (nt,) the lane roll, A/m (nt, T, 1) pass-1 row intercept/slope
+    with y relative to the ALIGNED origin and x relative to the TRUE
+    origin (ys(t, u) = A + m*u), and xs_w (nt, T, T) pass-2 positions
+    relative to the true origin."""
+    C, Hp, Wp = shape_cm
+    T = tile
+    nt = ny * nx
+    ti = jnp.arange(nt)
+    oy = (ti // nx * T).astype(jnp.float32)[:, None]        # (nt, 1)
+    ox = (ti % nx * T).astype(jnp.float32)[:, None]
+    t_i = jnp.arange(T, dtype=jnp.float32)[None, :]         # (1, T)
+
+    def src_xy(xd, yd):
+        den = Hinv[2, 0] * xd + Hinv[2, 1] * yd + Hinv[2, 2]
+        return ((Hinv[0, 0] * xd + Hinv[0, 1] * yd + Hinv[0, 2]) / den,
+                (Hinv[1, 0] * xd + Hinv[1, 1] * yd + Hinv[1, 2]) / den)
+
+    xs0, ys0 = src_xy(ox, oy + t_i)                          # (nt, T)
+    xs1, ys1 = src_xy(ox + (T - 1), oy + t_i)
+    dxs = xs1 - xs0
+    safe = jnp.where(jnp.abs(dxs) < 1e-6,
+                     jnp.where(dxs < 0, -1e-6, 1e-6), dxs)
+    m = (ys1 - ys0) / safe
+
+    cx0 = (xs0 + xs1).mean(axis=1) / 2                       # (nt,)
+    cy0 = (ys0 + ys1).mean(axis=1) / 2
+    wy_true = jnp.clip(jnp.floor(cy0 - win / 2).astype(jnp.int32) + pad,
+                       0, Hp - win)
+    wx_true = jnp.clip(jnp.floor(cx0 - win / 2).astype(jnp.int32) + pad,
+                       0, Wp - win)
+    wy_al = _align_down(jnp.clip(wy_true, 0, Hp - win_y_al), 8)
+    wx_al = _align_down(jnp.clip(wx_true, 0, Wp - win_x_al), 128)
+    xoff = jnp.clip(wx_true - wx_al, 0, win_x_al - win)
+    # ship the aligned origins as BLOCK indices (x8 / x128 recovered in
+    # kernel) so Mosaic can prove the DMA slice offsets are tile-aligned
+    wy_al_blocks = wy_al // 8
+    wx_al_blocks = wx_al // 128
+
+    # positions must be relative to the EFFECTIVE rolled origin
+    # (wx_al + xoff): near canvas edges the xoff clip shifts the window,
+    # and positions computed from wx_true would desynchronize from it
+    ox_w = ((wx_al + xoff).astype(jnp.float32) - pad)[:, None]
+    oy_w = (wy_al.astype(jnp.float32) - pad)[:, None]
+    A = (ys0 - oy_w) + m * (ox_w - xs0)
+
+    x_i = jnp.arange(T, dtype=jnp.float32)[None, None, :]
+    xs_full, _ = src_xy(ox[:, :, None] + x_i, (oy + t_i)[:, :, None])
+    xs_w = xs_full - ox_w[:, :, None]                        # (nt, T, T)
+    return wy_al_blocks, wx_al_blocks, xoff, A[:, :, None], m[:, :, None], xs_w
+
+
+def _warp_pallas_kernel(wy_ref, wx_ref, xo_ref, A_ref, m_ref, xs_ref,
+                        src_ref, out_ref, wscr, sem, *, tile, win,
+                        win_y_al, win_x_al, nx, C, bilinear):
+    """One output tile: DMA its ALIGNED source window HBM->VMEM, roll
+    lanes to the true x-origin, build the hat/box weights FROM IOTAS in
+    VMEM (the XLA version materializes them through HBM — measured as its
+    bottleneck), run the two pass-reductions, write the tile."""
+    T = tile
+    ti = pl.program_id(0) * nx + pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        src_ref.at[:, pl.ds(wy_ref[ti] * 8, win_y_al),
+                   pl.ds(wx_ref[ti] * 128, win_x_al)],
+        wscr, sem)
+    dma.start()
+    A = A_ref[0]                                             # (T, 1)
+    m = m_ref[0]
+    xs = xs_ref[0]                                           # (T, T)
+    P = win_y_al
+    u_i = jax.lax.broadcasted_iota(jnp.int32, (T, win), 1
+                                   ).astype(jnp.float32)
+    ys = A + m * u_i                                         # (T, U)
+    p_i = jax.lax.broadcasted_iota(jnp.int32, (T, P, win), 1
+                                   ).astype(jnp.float32)
+
+    def kern(x):
+        if bilinear:
+            return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+        return (jnp.abs(x) <= 0.5).astype(jnp.float32)
+
+    w1 = kern(ys[:, None, :] - p_i)                          # (T, P, U)
+    u_i3 = jax.lax.broadcasted_iota(jnp.int32, (T, T, win), 2
+                                    ).astype(jnp.float32)
+    w2 = kern(xs[:, :, None] - u_i3)                         # (T, T, U)
+    dma.wait()
+    xoff = xo_ref[ti]
+    for c in range(C):
+        band = wscr[c].astype(jnp.float32)                   # (P, win_x_al)
+        # positive-shift roll (dynamic negative shifts are unreliable):
+        # element xoff lands at lane 0
+        src_c = pltpu.roll(band, win_x_al - xoff, axis=1)[:, :win]
+        tmp = jnp.sum(w1 * src_c[None, :, :], axis=1)        # (T, U)
+        out_ref[0, 0, c] = jnp.sum(w2 * tmp[:, None, :], axis=2
+                                   ).astype(out_ref.dtype)
+
+
+def _warp_one_pallas(img_pad, Hinv, ny, nx, tile, pad, mode, win):
+    """Pallas TPU path of _warp_one: identical math, weights never touch
+    HBM. Grid = output tiles; per-tile window origins ride scalar
+    prefetch so the kernel can DMA data-dependent source windows."""
+    Hp, Wp, C = img_pad.shape
+    T = tile
+    win_y_al = win + 8
+    win_x_al = 256 if win + 128 <= 256 else 384
+    src_cm = jnp.transpose(img_pad, (2, 0, 1))               # (C, Hp, Wp)
+    wy, wx, xo, A, m, xs_w = _tile_params(
+        src_cm.shape, Hinv, ny, nx, tile, pad, win, win_y_al, win_x_al)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ny, nx),
+        in_specs=[
+            pl.BlockSpec((1, T, 1), lambda ty, tx, *_: (ty * nx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 1), lambda ty, tx, *_: (ty * nx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, T), lambda ty, tx, *_: (ty * nx + tx, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, C, T, T),
+                               lambda ty, tx, *_: (ty, tx, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((C, win_y_al, win_x_al), img_pad.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+    )
+    out_cm = pl.pallas_call(
+        partial(_warp_pallas_kernel, tile=T, win=win, win_y_al=win_y_al,
+                win_x_al=win_x_al, nx=nx, C=C,
+                bilinear=(mode == "bilinear")),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ny, nx, C, T, T), img_pad.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(wy, wx, xo, A, m, xs_w, src_cm)
+    # (ny, nx, C, T, T) -> (H, W, C)
+    return out_cm.transpose(0, 3, 1, 4, 2).reshape(ny * T, nx * T, C)
 
 
 def _warp_one(img_pad, Hinv, ny, nx, tile, pad, mode, win=None):
@@ -63,6 +215,9 @@ def _warp_one(img_pad, Hinv, ny, nx, tile, pad, mode, win=None):
     T = tile
     if win is None:
         win = 4 * T + 16
+    wxa = 256 if win + 128 <= 256 else 384
+    if (jax.default_backend() == "tpu" and Hp >= win + 8 and Wp >= wxa):
+        return _warp_one_pallas(img_pad, Hinv, ny, nx, tile, pad, mode, win)
     kern = _hat if mode == "bilinear" else _box
 
     def src_xy(xd, yd):
@@ -208,12 +363,16 @@ def _warp_one_oriented(src, src_rot, Q, Hinv, H, W, ny, nx, tile, pad, mode):
     def run(s, Hm, w):
         return _warp_one(s, Hm, ny, nx, tile, pad, mode, win=w)
 
+    # compose Q @ Hinv ELEMENTWISE: on TPU a plain fp32 matmul may run on
+    # the MXU in bf16 (xla_allow_excess_precision), truncating homography
+    # entries enough to shift sample positions by ~0.1 px
+    QH = jnp.stack([Hinv[1], Q[1, 2] * Hinv[2] - Hinv[0], Hinv[2]])
     return jax.lax.cond(
         rotate,
         lambda: jax.lax.cond(
             small,
-            lambda: run(src_rot, Q @ Hinv, 2 * tile + 16),
-            lambda: run(src_rot, Q @ Hinv, 4 * tile + 16)),
+            lambda: run(src_rot, QH, 2 * tile + 16),
+            lambda: run(src_rot, QH, 4 * tile + 16)),
         lambda: jax.lax.cond(
             small,
             lambda: run(src, Hinv, 2 * tile + 16),
