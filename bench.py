@@ -108,6 +108,11 @@ def main():
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / ref_cpu_pairs_s, 1),
+        "baseline": ("reference torch eager fp32 on host CPU, 0.069 pairs/s"
+                     " (two_forward chain only; NMS/matching excluded, which"
+                     " favors the reference) — no GPU in this environment;"
+                     " see README 'Benchmarks' for the GPU-target estimate"
+                     " (~3-6x over the 5x-GPU bar at 8 chips)"),
     }))
 
 

@@ -125,6 +125,50 @@ def test_training_loss_decreases_on_synthetic(tmp_path):
     assert epoch == 2
 
 
+def test_scheduler_lr_matches_torch_exactly():
+    """LR after k epochs equals torch StepLR/ExponentialLR exactly — and is
+    driven by the true epoch counter, so --max-steps / resume cannot drift
+    the decay boundaries (the old step-count staircase did)."""
+    import torch
+    from xpoint_tpu.trainer import make_optimizer
+
+    for stype, kwargs in [('StepLR', {'step_size': 3, 'gamma': 0.5}),
+                          ('ExponentialLR', {'gamma': 0.9})]:
+        lr0 = 1e-3
+        _, lr_at_epoch = make_optimizer(
+            {'learningrate': lr0,
+             'scheduler': dict({'use_scheduler': True, 'type': stype},
+                               **kwargs)})
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=lr0)
+        sched = getattr(torch.optim.lr_scheduler, stype)(opt, **kwargs)
+        for epoch in range(10):
+            torch_lr = opt.param_groups[0]['lr']
+            assert lr_at_epoch(epoch) == pytest.approx(torch_lr, rel=1e-12), \
+                (stype, epoch)
+            sched.step()
+
+
+def test_train_state_lr_scale_applied():
+    """TrainState.lr scales the (negated) Adam update exactly."""
+    import optax
+    import jax.numpy as jnp
+    from xpoint_tpu.parallel.train_step import TrainState
+    tx = optax.chain(optax.scale_by_adam(), optax.scale(-1.0))
+    params = {'w': jnp.ones((3,))}
+    state = TrainState.create(params, None, tx, lr=0.5)
+    grads = {'w': jnp.full((3,), 2.0)}
+    s1 = state.apply_gradients(grads)
+    # reference: adam with lr=0.5 from optax directly
+    tx_ref = optax.chain(optax.scale_by_adam(),
+                         optax.scale_by_learning_rate(0.5))
+    ref_state = tx_ref.init(params)
+    upd, _ = tx_ref.update(grads, ref_state, params)
+    np.testing.assert_allclose(np.asarray(s1.params['w']),
+                               np.asarray(optax.apply_updates(params, upd)['w']),
+                               rtol=1e-6)
+
+
 def test_sat_thermal_dataset(tmp_path):
     import h5py
     from xpoint_tpu.data import get_dataset

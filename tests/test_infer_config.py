@@ -85,6 +85,34 @@ def test_flann_dispatch_is_plain_nn():
         assert t == int(dmat[q].argmin())
 
 
+def test_keypoint_capacity_grows_past_max_kp():
+    """More keypoints than max_kp must GROW the device capacity (one jit
+    recompile), never silently truncate the metric path."""
+    infer = _tiny_infer({'method': 'bfmatcher',
+                         'method_kwargs': {'crossCheck': True}})
+    infer.max_kp = 8
+    rng = np.random.default_rng(5)
+    n = 21                                  # > 2x capacity: two growths
+    kps = np.stack([rng.integers(0, 32, n), rng.integers(0, 32, n)],
+                   axis=1).astype(np.float32)
+    desc_map = rng.normal(size=(4, 4, 16)).astype(np.float32)
+    with pytest.warns(UserWarning, match="growing device capacity"):
+        d = infer.descriptors_at(kps, desc_map, (32, 32))
+    assert d.shape == (n, 16)
+    assert infer.max_kp == 32
+    # rows must equal the small-capacity result (padding never leaks in)
+    d_direct = infer.descriptors_at(kps[:4], desc_map, (32, 32))
+    np.testing.assert_allclose(d[:4], d_direct, atol=1e-6)
+    # matching with n > original max_kp works and stays exact
+    d1, d2 = _descs(40, 50, seed=6)
+    infer.max_kp = 8
+    matches = infer.match(d1, d2)
+    dmat = np.sqrt(np.maximum(2 - 2 * np.clip(d1 @ d2.T, -1, 1), 0))
+    for q, t, dist in matches:
+        assert t == int(dmat[q].argmin())
+        assert q == int(dmat[:, t].argmin())
+
+
 def test_disable_hmhead_model_override(tmp_path):
     """load_model(model_override=...) rebuilds without the hm head."""
     from xpoint_tpu.config import save_yaml

@@ -142,6 +142,21 @@ def test_box_nms_matches_reference_semantics():
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+def test_box_nms_long_suppression_chain_converges():
+    """A monotone ramp builds a suppression chain needing ~2 sweeps per
+    kept point; at 256 columns that's ~128 sweeps — past the old fixed cap
+    of 64 (which silently returned a non-greedy keep set). The bound is
+    grid-tied now, so the fixed point must be reached: greedy on a strict
+    1-px-spaced descending ramp keeps exactly every `size`-th pixel."""
+    size, iou = 4, 0.1
+    W = 256
+    prob = np.zeros((8, W), np.float32)
+    prob[4] = np.linspace(1.0, 0.5, W)      # strictly decreasing ramp
+    out = np.asarray(box_nms(jnp.asarray(prob), size, 0.015, iou))
+    kept_cols = np.flatnonzero(out[4])
+    np.testing.assert_array_equal(kept_cols, np.arange(0, W, size))
+
+
 def test_box_nms_top_k():
     rng = np.random.default_rng(7)
     prob = rng.uniform(size=(64, 64)).astype(np.float32)

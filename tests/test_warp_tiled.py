@@ -81,6 +81,38 @@ def test_sampled_homography_family(pmode):
     assert err.max() < 0.2, err.max()
 
 
+@pytest.mark.skipif(__import__("jax").default_backend() != "tpu",
+                    reason="Pallas warp kernel only compiles on TPU; the CI "
+                           "suite (CPU-forced conftest) exercises the XLA "
+                           "fallback — run this on-device (verify skill)")
+def test_pallas_kernel_matches_xla_fallback_on_device():
+    """The shipped hot path (_warp_one_pallas) vs the XLA fallback
+    (_warp_one with the backend gate forced off) on identical inputs —
+    the on-device golden coverage the repo's device-op convention
+    requires."""
+    from xpoint_tpu.ops import warp_tiled as wt
+    rng = np.random.default_rng(2)
+    H = W = 128
+    img = _smooth_image(H, W)
+    Hs = np.stack([sample_homography(np.array([H, W]), rng=rng, **HA_SAMPLER)
+                   for _ in range(4)]).astype(np.float32)
+    with_pallas = np.asarray(warp_image_multi_tiled(
+        jnp.asarray(img), jnp.asarray(Hs), "bilinear", "reflection"))
+
+    # force the XLA fallback branch: the backend gate is evaluated at trace
+    # time, so clear the jit cache and retrace with the gate mocked off
+    import unittest.mock as mock
+    warp_image_multi_tiled.clear_cache()
+    try:
+        with mock.patch.object(wt._warp_one.__globals__["jax"],
+                               "default_backend", lambda: "cpu"):
+            without = np.asarray(warp_image_multi_tiled(
+                jnp.asarray(img), jnp.asarray(Hs), "bilinear", "reflection"))
+    finally:
+        warp_image_multi_tiled.clear_cache()
+    np.testing.assert_allclose(with_pallas, without, atol=1e-4)
+
+
 def test_nearest_mask_parity():
     """Valid-mask (blob) unwarp in nearest mode: boundary rounding may
     differ on isolated edge pixels only."""

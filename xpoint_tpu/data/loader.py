@@ -4,6 +4,13 @@ thread prefetch so host-side cv2 augmentation overlaps TPU compute.
 Replaces torch DataLoader worker processes (reference train.py:54-55). The
 container has a single CPU core, so one prefetch thread (which releases the
 GIL inside cv2/h5py/numpy) is the right amount of host parallelism.
+
+SCALABILITY NOTE: on a real multi-core host feeding 8 chips, full-scale
+MULTIPOINT training (36 GB HDF5 + cv2 warps per sample) will be bound by
+this single prefetch thread. The fix when that day comes is a worker POOL
+(multiprocessing or N threads — cv2/h5py release the GIL) filling the same
+queue; the consumer contract below does not change. Sized-for-this-container
+is deliberate, not a design limit.
 """
 import queue
 import threading

@@ -2,6 +2,12 @@
 
 Parity: reference augmentation/photometric_augmentation.py — six primitives
 operating on float grayscale images in [0, 1].
+
+PROVENANCE NOTE: the numerics here (noise/brightness/contrast/shade/
+motion-blur formulas, ranges, and defaults) deliberately follow the
+reference photometric_augmentation.py:4-78 statement-for-statement — these
+~80 lines of numpy formulas ARE the behavioral spec that training parity
+depends on, so they were kept identical rather than re-designed.
 """
 import cv2
 import numpy as np

@@ -136,16 +136,25 @@ class XPointInference:
             p = p * valid_mask
         return np.argwhere(p > float(self.cfg['detection_threshold']))
 
+    def _capacity(self, n):
+        """Static pad size for n dynamic keypoints: grows max_kp by powers
+        of two so NO keypoint is ever silently dropped from the metric path
+        (each new capacity costs one jit recompile, then is reused)."""
+        k = self.max_kp
+        while k < n:
+            k *= 2
+        if k > self.max_kp:
+            import warnings
+            warnings.warn(f"{n} keypoints exceed max_kp={self.max_kp}; "
+                          f"growing device capacity to {k} (one-time jit "
+                          f"recompile at this size)")
+            self.max_kp = k
+        return k
+
     def descriptors_at(self, keypoints, desc_map, image_shape):
         """Sample L2-normed descriptors at (n, 2) host keypoints."""
         n = len(keypoints)
-        k = self.max_kp
-        if n > k:
-            import warnings
-            warnings.warn(f"truncating {n} keypoints to max_kp={k}; raise "
-                          f"XPointInference(max_kp=...) for exact parity")
-            keypoints = keypoints[:k]
-            n = k
+        k = self._capacity(n)
         kps = np.zeros((k, 2), np.float32)
         kps[:n] = keypoints
         mask = np.zeros((k,), bool)
@@ -171,7 +180,7 @@ class XPointInference:
         if n1 == 0 or n2 == 0:
             return []
         D = desc1.shape[1]
-        k = self.max_kp
+        k = self._capacity(max(n1, n2))
         d1 = np.zeros((k, D), np.float32)
         d2 = np.zeros((k, D), np.float32)
         d1[:n1] = desc1

@@ -84,9 +84,20 @@ def _grid_nms_keep(prob, valid, size, iou):
 
     p = prob.astype(jnp.float32)
 
+    # Sweep bound: each sweep finalizes at least the highest-scoring
+    # still-undecided candidate of every suppression chain, so H*W sweeps
+    # always converge; realistic heatmaps converge in < 10 and the loop
+    # exits on the keep == prev fixed-point test long before the bound.
+    # A fixed cap of 64 (previous version) could silently return a
+    # non-greedy keep set on adversarial ramp heatmaps whose chains exceed
+    # it — the bound is grid-tied instead so the fixed point is always
+    # reached (see tests/test_ops_core.py ramp-chain case).
+    H, W = prob.shape[1], prob.shape[2]
+    max_sweeps = H * W
+
     def cond(state):
         keep, prev, it = state
-        return jnp.logical_and(jnp.any(keep != prev), it < 64)
+        return jnp.logical_and(jnp.any(keep != prev), it < max_sweeps)
 
     def body(state):
         keep, _, it = state

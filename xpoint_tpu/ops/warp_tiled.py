@@ -54,6 +54,20 @@ def _align_down(x, m):
     return (x // m) * m
 
 
+def _align_canvas8(src):
+    """Reflect-pad the last-two-but-channel dims (bottom/right) so the
+    padded canvas is a multiple of 8 — required for exact bottom-edge DMA
+    window coverage in the Pallas path (see _warp_one_pallas). The added
+    rows sit at/beyond the two-fold reflection coverage limit, where reads
+    are already clamp-approximate by contract."""
+    ey = -src.shape[-3] % 8
+    ex = -src.shape[-2] % 8
+    if not (ey or ex):
+        return src
+    padw = [(0, 0)] * (src.ndim - 3) + [(0, ey), (0, ex), (0, 0)]
+    return jnp.pad(src, padw, mode="reflect")
+
+
 def _tile_params(shape_cm, Hinv, ny, nx, tile, pad, win, win_y_al, win_x_al):
     """Vectorized per-tile parameters for the Pallas two-pass warp.
 
@@ -163,6 +177,10 @@ def _warp_one_pallas(img_pad, Hinv, ny, nx, tile, pad, mode, win):
     prefetch so the kernel can DMA data-dependent source windows."""
     Hp, Wp, C = img_pad.shape
     T = tile
+    # +8 y headroom is EXACT given Hp % 8 == 0 (callers round the padded
+    # canvas up): at the bottom edge the clip moves the origin up by <= 8
+    # and align-down then contributes 0; elsewhere align-down <= 7 < 8.
+    # (The x analog ships a bigger window and rolls lanes — see xoff.)
     win_y_al = win + 8
     win_x_al = 256 if win + 128 <= 256 else 384
     src_cm = jnp.transpose(img_pad, (2, 0, 1))               # (C, Hp, Wp)
@@ -312,6 +330,14 @@ def warp_image_multi_tiled(images, homographies, mode="bilinear",
     # 90-deg-CCW-rotated source for the bottleneck branch: src(x, y) =
     # src_rot(x_r, y_r) with (x_r, y_r) = Q(x, y) = (y, W-1-x)
     src_rot = jnp.rot90(src, 1, axes=(0, 1))
+    # round each canvas up to a multiple of 8 with bottom/right reflect
+    # rows AFTER rotating (an asymmetric pre-rotation pad would shift the
+    # rotated content's origin): the Pallas path aligns DMA window origins
+    # DOWN to 8, and at the bottom canvas edge the align-down remainder
+    # eats into the (win + 8) y headroom unless Hp % 8 == 0 (reflection's
+    # 5H-4 ≡ 4 mod 8 silently lost up to 7 source rows on the worst tile).
+    src = _align_canvas8(src)
+    src_rot = _align_canvas8(src_rot)
     Q = jnp.asarray([[0.0, 1.0, 0.0],
                      [-1.0, 0.0, W - 1.0],
                      [0.0, 0.0, 1.0]])
@@ -398,6 +424,10 @@ def warp_image_batch_tiled(images, homographies, mode="bilinear",
         pad = 4 * tile + 16
         src = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     src_rot = jnp.rot90(src, 1, axes=(1, 2))
+    # canvases rounded to x8 AFTER rotation for exact bottom-edge DMA
+    # alignment (see warp_image_multi_tiled)
+    src = _align_canvas8(src)
+    src_rot = _align_canvas8(src_rot)
     Q = jnp.asarray([[0.0, 1.0, 0.0],
                      [-1.0, 0.0, W - 1.0],
                      [0.0, 0.0, 1.0]])

@@ -22,14 +22,23 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Optional learning-rate scale set from the HOST once per epoch (exact
+    # torch StepLR/ExponentialLR semantics: scheduler.step() per epoch,
+    # reference train.py:316-317). When set, the tx must NOT include its
+    # own lr factor. A step-count staircase inside tx would drift from the
+    # reference whenever --max-steps or resume changes steps-per-epoch.
+    lr: Any = None
 
     @classmethod
-    def create(cls, params, batch_stats, tx):
+    def create(cls, params, batch_stats, tx, lr=None):
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
+                   batch_stats=batch_stats, opt_state=tx.init(params), tx=tx,
+                   lr=None if lr is None else jnp.asarray(lr, jnp.float32))
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        if self.lr is not None:
+            updates = jax.tree.map(lambda u: u * self.lr, updates)
         return self.replace(step=self.step + 1,
                             params=optax.apply_updates(self.params, updates),
                             opt_state=new_opt)

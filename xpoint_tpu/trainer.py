@@ -29,34 +29,44 @@ from .parallel import (make_mesh, shard_batch, replicate, make_train_step,
 from . import checkpoints as ckpt
 
 
-def make_optimizer(training_cfg, steps_per_epoch=1):
+def make_optimizer(training_cfg, steps_per_epoch=None):
     """Adam (+ optional per-EPOCH StepLR/ExponentialLR decay, matching the
     reference's scheduler.step() once per epoch, train.py:316-317) and
     torch-style L2 weight decay (grad += wd * param before the Adam
-    moments — NOT decoupled AdamW)."""
+    moments — NOT decoupled AdamW).
+
+    Returns (tx, lr_at_epoch). With a scheduler, tx carries NO lr factor
+    and ``lr_at_epoch(epoch)`` gives the exact torch LR for that epoch —
+    the trainer sets it on TrainState.lr once per epoch, so --max-steps /
+    resumed runs keep the reference decay boundaries exactly (a step-count
+    staircase, the previous design, drifted whenever the true
+    steps-per-epoch differed from len(loader)).
+    """
+    del steps_per_epoch  # legacy arg: boundaries are epoch-exact now
     lr = float(training_cfg.get('learningrate', 1e-4))
     sched_cfg = training_cfg.get('scheduler', {}) or {}
-    schedule = lr
+    lr_at_epoch = None
     if sched_cfg.get('use_scheduler'):
         stype = sched_cfg.get('type', 'ExponentialLR')
         gamma = float(sched_cfg.get('gamma', 0.9))
         step_size = int(sched_cfg.get('step_size', 1))
-        epochs = max(int(steps_per_epoch), 1)
         if stype == 'StepLR':
-            schedule = optax.exponential_decay(lr, step_size * epochs, gamma,
-                                               staircase=True)
+            # torch StepLR: lr * gamma^(epoch // step_size)
+            lr_at_epoch = lambda e: lr * gamma ** (e // step_size)
         elif stype == 'ExponentialLR':
-            schedule = optax.exponential_decay(lr, epochs, gamma,
-                                               staircase=True)
+            # torch ExponentialLR: lr * gamma^epoch
+            lr_at_epoch = lambda e: lr * gamma ** e
         else:
             raise ValueError(f"unknown scheduler {stype}")
     wd = float(training_cfg.get('weight_decay', 0) or 0)
-    if wd > 0:
-        tx = optax.chain(optax.add_decayed_weights(wd),
-                         optax.scale_by_adam(),
-                         optax.scale_by_learning_rate(schedule))
-        return tx, schedule
-    return optax.adam(schedule), schedule
+    decay = [optax.add_decayed_weights(wd)] if wd > 0 else []
+    if lr_at_epoch is not None:
+        # lr applied via TrainState.lr (set per epoch); tx only negates
+        tx = optax.chain(*decay, optax.scale_by_adam(), optax.scale(-1.0))
+    else:
+        tx = optax.chain(*decay, optax.scale_by_adam(),
+                         optax.scale_by_learning_rate(lr))
+    return tx, lr_at_epoch
 
 
 def batch_to_device_pair(batch):
@@ -121,7 +131,7 @@ class Trainer:
         self.loss_fn = XPointLoss(loss_cfg)
 
         self.mesh = make_mesh(n_devices)
-        self.tx, self.schedule = make_optimizer(tcfg, len(self.loader))
+        self.tx, self.lr_at_epoch = make_optimizer(tcfg)
         self.rng = jax.random.PRNGKey(seed)
 
         # init params with a sample batch shape
@@ -134,8 +144,9 @@ class Trainer:
         # pretrained-encoder bootstrap (reference train.py:78-129)
         variables = self._maybe_load_pretrained_encoder(variables)
 
-        self.state = TrainState.create(variables['params'],
-                                       variables.get('batch_stats'), self.tx)
+        self.state = TrainState.create(
+            variables['params'], variables.get('batch_stats'), self.tx,
+            lr=(self.lr_at_epoch(0) if self.lr_at_epoch else None))
         self.start_epoch = 0
 
         self.train_step = make_train_step(self.module, self.loss_fn,
@@ -195,6 +206,11 @@ class Trainer:
         self.state = replicate(self.state, self.mesh)
         step = 0
         for epoch in range(self.start_epoch, n_epochs):
+            if self.lr_at_epoch is not None:
+                # exact reference scheduler: LR recomputed from the true
+                # epoch counter (robust to --max-steps and resume)
+                self.state = self.state.replace(
+                    lr=jnp.asarray(self.lr_at_epoch(epoch), jnp.float32))
             epoch_losses = []
             t_epoch = time.time()
             for i, batch in enumerate(self.loader):
