@@ -273,11 +273,41 @@ def _fused_bkld_bwd(res, g):
 selective_scan_fused_bkld.defvjp(_fused_bkld_fwd, _fused_bkld_bwd)
 
 
+def _hs_prefix(a, b, chunk):
+    """Hillis-Steele PREFIX composition: after the loop, (a_t, b_t) compose
+    [0, t] so h_t = b_t + a_t * h_entry_left."""
+    offset = 1
+    while offset < chunk:
+        a_prev = jnp.concatenate(
+            [jnp.ones_like(a[:offset]), a[:-offset]], axis=0)
+        b_prev = jnp.concatenate(
+            [jnp.zeros_like(b[:offset]), b[:-offset]], axis=0)
+        b = a * b_prev + b
+        a = a * a_prev
+        offset *= 2
+    return a, b
+
+
+def _hs_suffix(a, b, chunk):
+    """Hillis-Steele SUFFIX composition: (a_t, b_t) compose [t, chunk) so
+    h_t = b_t + a_t * h_entry_right."""
+    offset = 1
+    while offset < chunk:
+        a_next = jnp.concatenate(
+            [a[offset:], jnp.ones_like(a[:offset])], axis=0)
+        b_next = jnp.concatenate(
+            [b[offset:], jnp.zeros_like(b[:offset])], axis=0)
+        b = b + a * b_next
+        a = a * a_next
+        offset *= 2
+    return a, b
+
+
 def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
                         dt_r_ref, u_r_ref, bc_r_ref, cc_r_ref,
                         A_f_ref, D_f_ref, bias_f_ref,
                         A_r_ref, D_r_ref, bias_r_ref,
-                        y_f_ref, y_r_ref, carry_f, carry_r, *, chunk, reps):
+                        y_f_ref, y_r_ref, *rest, chunk, reps, emit_ckpt=False):
     """Forward + reversed selective scans in one pass, flip-free.
 
     The reversed directions of SS2D's cross-scan are the SAME sequences
@@ -292,7 +322,16 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
     COMPACT — one column per group — and are expanded in VMEM (`reps` = the
     channel count each column covers), cutting the kernel's HBM input
     volume nearly in half versus pre-broadcast (L, M) planes.
+
+    With emit_ckpt, the per-chunk ENTRY states are also written out
+    ((n_chunks, M) per direction, the residuals the fused backward kernel
+    rebuilds h from — the analog of the CUDA backward's chunked
+    recomputation, selective_scan_bwd_kernel_oflex.cuh).
     """
+    if emit_ckpt:
+        hck_f_ref, hck_r_ref, carry_f, carry_r = rest
+    else:
+        carry_f, carry_r = rest
     li = pl.program_id(1)
 
     def lanes(ref, width):
@@ -316,6 +355,13 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
         carry_f[...] = jnp.zeros_like(carry_f)
         carry_r[...] = jnp.zeros_like(carry_r)
 
+    if emit_ckpt:
+        # entry state of the chunk each lane set processes THIS step
+        # (blocks are (1, 8, lanes) — row 0 holds the state, rows 1-7 are
+        # tile-alignment padding required by Mosaic block-shape rules)
+        hck_f_ref[0] = carry_f[...]
+        hck_r_ref[0] = carry_r[...]
+
     # --- forward lanes: prefix scan, carry enters from the left
     dt = jax.nn.softplus(dt_f_ref[...].astype(jnp.float32)
                          + bias_f_ref[...].astype(jnp.float32))
@@ -323,15 +369,7 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
     a = jnp.exp(dt * A_f_ref[...].astype(jnp.float32))
     width = dt.shape[1]
     b = dt * u * lanes(bc_f_ref, width)
-    offset = 1
-    while offset < chunk:
-        a_prev = jnp.concatenate(
-            [jnp.ones_like(a[:offset]), a[:-offset]], axis=0)
-        b_prev = jnp.concatenate(
-            [jnp.zeros_like(b[:offset]), b[:-offset]], axis=0)
-        b = a * b_prev + b
-        a = a * a_prev
-        offset *= 2
+    a, b = _hs_prefix(a, b, chunk)
     h = b + a * carry_f[0:1, :]
     y_f_ref[...] = (lanes(cc_f_ref, width) * h
                     + D_f_ref[...].astype(jnp.float32) * u).astype(
@@ -346,15 +384,7 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
     u = u_r_ref[...].astype(jnp.float32)
     a = jnp.exp(dt * A_r_ref[...].astype(jnp.float32))
     b = dt * u * lanes(bc_r_ref, width)
-    offset = 1
-    while offset < chunk:
-        a_next = jnp.concatenate(
-            [a[offset:], jnp.ones_like(a[:offset])], axis=0)
-        b_next = jnp.concatenate(
-            [b[offset:], jnp.zeros_like(b[:offset])], axis=0)
-        b = b + a * b_next
-        a = a * a_next
-        offset *= 2
+    a, b = _hs_suffix(a, b, chunk)
     h = b + a * carry_r[0:1, :]
     y_r_ref[...] = (lanes(cc_r_ref, width) * h
                     + D_r_ref[...].astype(jnp.float32) * u).astype(
@@ -363,11 +393,12 @@ def _fused_bidir_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("chunk", "lane_block", "group"))
+                   static_argnames=("chunk", "lane_block", "group",
+                                    "emit_ckpt"))
 def _fused_bidir_lm(dt_f, u, bc_f, cc_f, dt_r, bc_r, cc_r,
                     A_f, D_f, bias_f, A_r, D_r, bias_r,
                     chunk=DEFAULT_CHUNK, lane_block=DEFAULT_LANE_BLOCK,
-                    group=0):
+                    group=0, emit_ckpt=False):
     """(L, M) bidirectional fused scan; u is shared by both directions.
 
     With group=Dim > 0, bc/cc are COMPACT (L, M/Dim): lanes are grouped in
@@ -412,16 +443,27 @@ def _fused_bidir_lm(dt_f, u, bc_f, cc_f, dt_r, bc_r, cc_r,
                               memory_space=pltpu.VMEM)
     out_dtype = dt_f.dtype
     u_p = pad(u)
-    y_f, y_r = pl.pallas_call(
-        functools.partial(_fused_bidir_kernel, chunk=chunk, reps=reps),
+    out_specs = [fwd_spec, rev_spec]
+    out_shape = [jax.ShapeDtypeStruct((Lp, Mp), out_dtype),
+                 jax.ShapeDtypeStruct((Lp, Mp), out_dtype)]
+    if emit_ckpt:
+        out_specs += [pl.BlockSpec((1, 8, lane_block), lambda m, l: (l, 0, m),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 8, lane_block),
+                                   lambda m, l: (nl - 1 - l, 0, m),
+                                   memory_space=pltpu.VMEM)]
+        out_shape += [jax.ShapeDtypeStruct((nl, 8, Mp), jnp.float32),
+                      jax.ShapeDtypeStruct((nl, 8, Mp), jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(_fused_bidir_kernel, chunk=chunk, reps=reps,
+                          emit_ckpt=emit_ckpt),
         grid=grid,
         in_specs=[fwd_spec, fwd_spec, bcf_spec, bcf_spec,
                   rev_spec, rev_spec, bcr_spec, bcr_spec,
                   const_spec, const_spec, const_spec,
                   const_spec, const_spec, const_spec],
-        out_specs=[fwd_spec, rev_spec],
-        out_shape=[jax.ShapeDtypeStruct((Lp, Mp), out_dtype),
-                   jax.ShapeDtypeStruct((Lp, Mp), out_dtype)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((8, lane_block), jnp.float32),
                         pltpu.VMEM((8, lane_block), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -431,10 +473,26 @@ def _fused_bidir_lm(dt_f, u, bc_f, cc_f, dt_r, bc_r, cc_r,
       pad(dt_r), u_p, pad_bc(bc_r), pad_bc(cc_r),
       pad_const(A_f, -1.0), pad_const(D_f), pad_const(bias_f),
       pad_const(A_r, -1.0), pad_const(D_r), pad_const(bias_r))
-    return y_f[:L, :M], y_r[:L, :M]
+    y_f, y_r = out[0][:L, :M], out[1][:L, :M]
+    if emit_ckpt:
+        return y_f, y_r, out[2], out[3]
+    return y_f, y_r
 
 
-def _fused_bidir_impl(u2, dt4, bc4, cc4, A, D, delta_bias):
+def _bidir_plan(Dim):
+    """(lane_block, group): lane blocks must align to whole (batch,
+    direction) groups of Dim channels (or sit inside one); group=0 means
+    the compact-B/C path is unavailable and pre-broadcast planes are used."""
+    if 384 % Dim == 0 or Dim % 384 == 0:
+        return 384, Dim
+    if Dim % 512 == 0:
+        return 512, Dim
+    if Dim % 128 == 0:
+        return 128, Dim
+    return DEFAULT_LANE_BLOCK, 0
+
+
+def _fused_bidir_impl(u2, dt4, bc4, cc4, A, D, delta_bias, emit_ckpt=False):
     B, K2, L, Dim = u2.shape
     M = B * K2 * Dim
     G = B * K2
@@ -443,15 +501,7 @@ def _fused_bidir_impl(u2, dt4, bc4, cc4, A, D, delta_bias):
     # they ship compact as one column per (b, j) group
     to_lm = lambda x: x.transpose(2, 0, 1, 3).reshape(L, M)
     half = lambda x: jnp.tile(x, B)[None].astype(jnp.float32)
-    # lane blocks must align to whole groups (or sit inside one)
-    if 384 % Dim == 0 or Dim % 384 == 0:
-        lane_block, group = 384, Dim
-    elif Dim % 512 == 0:
-        lane_block, group = 512, Dim
-    elif Dim % 128 == 0:
-        lane_block, group = 128, Dim
-    else:
-        lane_block, group = DEFAULT_LANE_BLOCK, 0
+    lane_block, group = _bidir_plan(Dim)
 
     if group:
         to_c = lambda x: x[..., 0].transpose(2, 0, 1).reshape(L, G)
@@ -464,14 +514,307 @@ def _fused_bidir_impl(u2, dt4, bc4, cc4, A, D, delta_bias):
         cc_f, cc_r = to_lm(ccb[:, :2]), to_lm(ccb[:, 2:])
 
     HD = K2 * Dim
-    y_f, y_r = _fused_bidir_lm(
+    out = _fused_bidir_lm(
         to_lm(dt4[:, :2]), to_lm(u2), bc_f, cc_f,
         to_lm(dt4[:, 2:]), bc_r, cc_r,
         half(A[:HD]), half(D[:HD]), half(delta_bias[:HD]),
         half(A[HD:]), half(D[HD:]), half(delta_bias[HD:]),
-        lane_block=lane_block, group=group)
+        lane_block=lane_block, group=group, emit_ckpt=emit_ckpt)
     from_lm = lambda y: y.reshape(L, B, K2, Dim).transpose(1, 2, 0, 3)
-    return jnp.concatenate([from_lm(y_f), from_lm(y_r)], axis=1)
+    y4 = jnp.concatenate([from_lm(out[0]), from_lm(out[1])], axis=1)
+    if emit_ckpt:
+        return y4, (out[2], out[3])
+    return y4
+
+
+def _fused_bidir_bwd_kernel(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref, g_f_ref,
+                            hck_f_ref,
+                            dt_r_ref, u_r_ref, bc_r_ref, cc_r_ref, g_r_ref,
+                            hck_r_ref,
+                            A_f_ref, D_f_ref, bias_f_ref,
+                            A_r_ref, D_r_ref, bias_r_ref,
+                            du_f_ref, ddt_f_ref, dbc_f_ref, dcc_f_ref,
+                            du_r_ref, ddt_r_ref, dbc_r_ref, dcc_r_ref,
+                            dA_f_ref, dD_f_ref, dbias_f_ref,
+                            dA_r_ref, dD_r_ref, dbias_r_ref,
+                            ecar_f, ecar_r, acc_f, acc_r, *, chunk, reps):
+    """Fused backward of the bidirectional scan — the Pallas analog of the
+    reference reverse_scan.cuh + selective_scan_bwd_kernel_oflex.cuh: one
+    pass that RECOMPUTES h per chunk from the forward's entry-state
+    checkpoints (no (L, M) h residual in HBM) and runs the adjoint
+    recurrence as a local Hillis-Steele scan via the substitution
+    e_t = a_t * dh_t, which makes both directions' adjoint recurrences
+    chunk-local:
+        fwd lanes:  dh_t = gC_t + a_{t+1} dh_{t+1}
+                    => e_t = a_t gC_t + a_t e_{t+1}   (suffix scan)
+        rev lanes:  dh_t = gC_t + a_{t-1} dh_{t-1}
+                    => e_t = a_t gC_t + a_t e_{t-1}   (prefix scan)
+    The grid mirrors the forward with the lane-set directions SWAPPED
+    (fwd-lane blocks iterate right-to-left so the adjoint carry flows
+    backward; rev-lane blocks left-to-right). dA/dD/dbias accumulate in
+    VMEM scratch across chunks; dB/dC group-reduce on the MXU into compact
+    (L, G) outputs (scattered to global group columns, summed over lane
+    blocks outside)."""
+    li = pl.program_id(1)
+    nl = pl.num_programs(1)
+
+    @pl.when(li == 0)
+    def _():
+        ecar_f[...] = jnp.zeros_like(ecar_f)
+        ecar_r[...] = jnp.zeros_like(ecar_r)
+        acc_f[...] = jnp.zeros_like(acc_f)
+        acc_r[...] = jnp.zeros_like(acc_r)
+
+    width = dt_f_ref.shape[1]
+    gp_all = dcc_f_ref.shape[-1]
+
+    def lane_expand(ref):
+        blk = ref[...].astype(jnp.float32)
+        if reps == 1:
+            return blk
+        gp = blk.shape[1]
+        start = pl.program_id(0) * width
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gp, width), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (gp, width), 1)
+        expand = ((start + cols) // reps == rows).astype(jnp.float32)
+        return jax.lax.dot_general(blk, expand, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def group_reduce(x):
+        # (chunk, width) -> (chunk, G_total): sum lanes of each group into
+        # its GLOBAL group column (zero elsewhere; lane blocks summed
+        # outside over the leading m axis of the output array)
+        if reps == 1:
+            return x
+        start = pl.program_id(0) * width
+        rows = jax.lax.broadcasted_iota(jnp.int32, (width, gp_all), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (width, gp_all), 1)
+        scatter = ((start + rows) // reps == cols).astype(jnp.float32)
+        return jax.lax.dot_general(x, scatter, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def lane_set(dt_ref, u_ref, bc_ref, cc_ref, g_ref, hck_ref,
+                 A_ref, D_ref, bias_ref, ecar, acc, suffix_h):
+        dtr = dt_ref[...].astype(jnp.float32) + bias_ref[...].astype(
+            jnp.float32)
+        dt = jax.nn.softplus(dtr)
+        sig = jax.nn.sigmoid(dtr)
+        u = u_ref[...].astype(jnp.float32)
+        A = A_ref[...].astype(jnp.float32)
+        a = jnp.exp(dt * A)
+        bs = lane_expand(bc_ref)
+        cs = lane_expand(cc_ref)
+        b = dt * u * bs
+        h0 = hck_ref[0, 0:1, :].astype(jnp.float32)  # (1, width) entry state
+        if suffix_h:
+            asc, bsc = _hs_suffix(a, b, chunk)
+            h = bsc + asc * h0
+            h_nb = jnp.concatenate([h[1:], h0], axis=0)   # h_{t+1}
+        else:
+            asc, bsc = _hs_prefix(a, b, chunk)
+            h = bsc + asc * h0
+            h_nb = jnp.concatenate([h0, h[:-1]], axis=0)  # h_{t-1}
+        g = g_ref[...].astype(jnp.float32)
+        gC = g * cs
+        carry_old = ecar[0:1, :]
+        if suffix_h:
+            # h was a suffix scan -> adjoint e is a PREFIX scan
+            ea, eb = _hs_prefix(a, a * gC, chunk)
+            e = eb + ea * carry_old
+            e_nb = jnp.concatenate([carry_old, e[:-1]], axis=0)
+            ecar[0:1, :] = e[chunk - 1:chunk, :]
+        else:
+            ea, eb = _hs_suffix(a, a * gC, chunk)
+            e = eb + ea * carry_old
+            e_nb = jnp.concatenate([e[1:], carry_old], axis=0)
+            ecar[0:1, :] = e[0:1, :]
+        dh = gC + e_nb
+        da = dh * h_nb                               # d loss / d a_t
+        ddt = dh * u * bs + da * A * a
+        ddtraw = ddt * sig
+        du = g * D_ref[...].astype(jnp.float32) + dh * dt * bs
+        acc[0:1, :] += jnp.sum(da * a * dt, axis=0, keepdims=True)   # dA
+        acc[1:2, :] += jnp.sum(g * u, axis=0, keepdims=True)         # dD
+        acc[2:3, :] += jnp.sum(ddtraw, axis=0, keepdims=True)        # dbias
+        return du, ddtraw, group_reduce(dh * dt * u), group_reduce(g * h)
+
+    du, ddt, dbc, dcc = lane_set(dt_f_ref, u_f_ref, bc_f_ref, cc_f_ref,
+                                 g_f_ref, hck_f_ref, A_f_ref, D_f_ref,
+                                 bias_f_ref, ecar_f, acc_f, suffix_h=False)
+    du_f_ref[...] = du
+    ddt_f_ref[...] = ddt
+    dbc_f_ref[...] = dbc[None]
+    dcc_f_ref[...] = dcc[None]
+
+    du, ddt, dbc, dcc = lane_set(dt_r_ref, u_r_ref, bc_r_ref, cc_r_ref,
+                                 g_r_ref, hck_r_ref, A_r_ref, D_r_ref,
+                                 bias_r_ref, ecar_r, acc_r, suffix_h=True)
+    du_r_ref[...] = du
+    ddt_r_ref[...] = ddt
+    dbc_r_ref[...] = dbc[None]
+    dcc_r_ref[...] = dcc[None]
+
+    @pl.when(li == nl - 1)
+    def _():
+        dA_f_ref[...] = acc_f[0:1, :]
+        dD_f_ref[...] = acc_f[1:2, :]
+        dbias_f_ref[...] = acc_f[2:3, :]
+        dA_r_ref[...] = acc_r[0:1, :]
+        dD_r_ref[...] = acc_r[1:2, :]
+        dbias_r_ref[...] = acc_r[2:3, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "lane_block", "group"))
+def _fused_bidir_bwd_lm(dt_f, u, bc_f, cc_f, g_f, hck_f,
+                        dt_r, bc_r, cc_r, g_r, hck_r,
+                        A_f, D_f, bias_f, A_r, D_r, bias_r,
+                        chunk=DEFAULT_CHUNK, lane_block=DEFAULT_LANE_BLOCK,
+                        group=0):
+    """(L, M) fused bidirectional backward. Compact path only (group=Dim).
+
+    Returns du (summed over both lane sets), ddt_f, ddt_r (L, M),
+    dbc_f/dbc_r/dcc_f/dcc_r compact (L, G), and per-lane dA/dD/dbias
+    (1, M) per direction half.
+    """
+    L, M = dt_f.shape
+    assert group > 0
+    Lp = _round_up(max(L, chunk), chunk)
+    Mp = _round_up(max(M, lane_block), lane_block)
+    reps = group
+    Gp = Mp // group
+
+    def pad(x):
+        return jnp.pad(x, ((0, Lp - x.shape[0]), (0, Mp - x.shape[1])))
+
+    def pad_bc(x):
+        return jnp.pad(x, ((0, Lp - x.shape[0]), (0, Gp - x.shape[1])))
+
+    def pad_const(x, cv=0.0):
+        return jnp.pad(x, ((0, 0), (0, Mp - M)), constant_values=cv)
+
+    nl = Lp // chunk
+    nm = Mp // lane_block
+    grid = (nm, nl)
+    # the backward swaps the lane sets' traversal directions (adjoint
+    # carries flow opposite to the forward state)
+    fwd_spec = pl.BlockSpec((chunk, lane_block),
+                            lambda m, l: (nl - 1 - l, m),
+                            memory_space=pltpu.VMEM)
+    rev_spec = pl.BlockSpec((chunk, lane_block), lambda m, l: (l, m),
+                            memory_space=pltpu.VMEM)
+    bcf_spec = pl.BlockSpec((chunk, Gp), lambda m, l: (nl - 1 - l, 0),
+                            memory_space=pltpu.VMEM)
+    bcr_spec = pl.BlockSpec((chunk, Gp), lambda m, l: (l, 0),
+                            memory_space=pltpu.VMEM)
+    hckf_spec = pl.BlockSpec((1, 8, lane_block),
+                             lambda m, l: (nl - 1 - l, 0, m),
+                             memory_space=pltpu.VMEM)
+    hckr_spec = pl.BlockSpec((1, 8, lane_block), lambda m, l: (l, 0, m),
+                             memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((1, lane_block), lambda m, l: (0, m),
+                              memory_space=pltpu.VMEM)
+    # compact dB/dC outputs: per-lane-block scatter planes (m, Lp, Gp),
+    # summed over m by the caller (Gp is tiny: one column per (b, dir))
+    dbcf_spec = pl.BlockSpec((1, chunk, Gp), lambda m, l: (m, nl - 1 - l, 0),
+                             memory_space=pltpu.VMEM)
+    dbcr_spec = pl.BlockSpec((1, chunk, Gp), lambda m, l: (m, l, 0),
+                             memory_space=pltpu.VMEM)
+
+    u_p = pad(u)
+    outs = pl.pallas_call(
+        functools.partial(_fused_bidir_bwd_kernel, chunk=chunk, reps=reps),
+        grid=grid,
+        in_specs=[fwd_spec, fwd_spec, bcf_spec, bcf_spec, fwd_spec,
+                  hckf_spec,
+                  rev_spec, rev_spec, bcr_spec, bcr_spec, rev_spec,
+                  hckr_spec,
+                  const_spec, const_spec, const_spec,
+                  const_spec, const_spec, const_spec],
+        out_specs=[fwd_spec, fwd_spec, dbcf_spec, dbcf_spec,
+                   rev_spec, rev_spec, dbcr_spec, dbcr_spec,
+                   const_spec, const_spec, const_spec,
+                   const_spec, const_spec, const_spec],
+        out_shape=[jax.ShapeDtypeStruct((Lp, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((Lp, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((nm, Lp, Gp), jnp.float32),
+                   jax.ShapeDtypeStruct((nm, Lp, Gp), jnp.float32),
+                   jax.ShapeDtypeStruct((Lp, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((Lp, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((nm, Lp, Gp), jnp.float32),
+                   jax.ShapeDtypeStruct((nm, Lp, Gp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, Mp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, lane_block), jnp.float32),
+                        pltpu.VMEM((8, lane_block), jnp.float32),
+                        pltpu.VMEM((8, lane_block), jnp.float32),
+                        pltpu.VMEM((8, lane_block), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=(jax.default_backend() == "cpu"),
+    )(pad(dt_f), u_p, pad_bc(bc_f), pad_bc(cc_f), pad(g_f), hck_f,
+      pad(dt_r), u_p, pad_bc(bc_r), pad_bc(cc_r), pad(g_r), hck_r,
+      pad_const(A_f, -1.0), pad_const(D_f), pad_const(bias_f),
+      pad_const(A_r, -1.0), pad_const(D_r), pad_const(bias_r))
+    (du_f, ddt_f, dbc_f, dcc_f, du_r, ddt_r, dbc_r, dcc_r,
+     dA_f, dD_f, dbias_f, dA_r, dD_r, dbias_r) = outs
+    G = M // group
+    du = (du_f + du_r)[:L, :M]
+    return (du, ddt_f[:L, :M], ddt_r[:L, :M],
+            dbc_f.sum(0)[:L, :G], dcc_f.sum(0)[:L, :G],
+            dbc_r.sum(0)[:L, :G], dcc_r.sum(0)[:L, :G],
+            dA_f[:, :M], dD_f[:, :M], dbias_f[:, :M],
+            dA_r[:, :M], dD_r[:, :M], dbias_r[:, :M])
+
+
+def _fused_bidir_bwd_impl(res_args, hck, g4):
+    """Layout glue around the backward kernel: relayout the saved primal
+    args and the (B, 4, L, Dim) cotangent to (L, M), run the kernel, map
+    cotangents back to the primal layouts/dtypes."""
+    u2, dt4, bc4, cc4, A, D, delta_bias = res_args
+    hck_f, hck_r = hck
+    B, K2, L, Dim = u2.shape
+    M = B * K2 * Dim
+    G = B * K2
+    HD = K2 * Dim
+    lane_block, group = _bidir_plan(Dim)
+    to_lm = lambda x: x.transpose(2, 0, 1, 3).reshape(L, M)
+    to_c = lambda x: x[..., 0].transpose(2, 0, 1).reshape(L, G)
+    half = lambda x: jnp.tile(x, B)[None].astype(jnp.float32)
+
+    g4 = g4.astype(jnp.float32)
+    (du, ddt_f, ddt_r, dbc_f, dcc_f, dbc_r, dcc_r,
+     dA_f, dD_f, dbias_f, dA_r, dD_r, dbias_r) = _fused_bidir_bwd_lm(
+        to_lm(dt4[:, :2]), to_lm(u2), to_c(bc4[:, :2]), to_c(cc4[:, :2]),
+        to_lm(g4[:, :2]), hck_f,
+        to_lm(dt4[:, 2:]), to_c(bc4[:, 2:]), to_c(cc4[:, 2:]),
+        to_lm(g4[:, 2:]), hck_r,
+        half(A[:HD]), half(D[:HD]), half(delta_bias[:HD]),
+        half(A[HD:]), half(D[HD:]), half(delta_bias[HD:]),
+        lane_block=lane_block, group=group)
+
+    from_lm = lambda y: y.reshape(L, B, K2, Dim).transpose(1, 2, 0, 3)
+    from_c = lambda y: y.reshape(L, B, K2).transpose(1, 2, 0)[..., None]
+    du2 = from_lm(du).astype(u2.dtype)
+    ddt4 = jnp.concatenate([from_lm(ddt_f), from_lm(ddt_r)],
+                           axis=1).astype(dt4.dtype)
+    dbc4 = jnp.concatenate([from_c(dbc_f), from_c(dbc_r)],
+                           axis=1).astype(bc4.dtype)
+    dcc4 = jnp.concatenate([from_c(dcc_f), from_c(dcc_r)],
+                           axis=1).astype(cc4.dtype)
+    # per-lane consts were tiled over batch: sum the batch copies
+    red = lambda x: x.reshape(B, HD).sum(0)
+    dA = jnp.concatenate([red(dA_f), red(dA_r)]).astype(A.dtype)
+    dD = jnp.concatenate([red(dD_f), red(dD_r)]).astype(D.dtype)
+    dbias = jnp.concatenate([red(dbias_f), red(dbias_r)]).astype(
+        delta_bias.dtype)
+    return du2, ddt4, dbc4, dcc4, dA, dD, dbias
 
 
 def _unfused_bidir_ref(u2, dt4, bc4, cc4, A, D, delta_bias):
@@ -501,11 +844,24 @@ def selective_scan_fused_bidir(u2, dt4, bc4, cc4, A, D, delta_bias):
 
 
 def _fused_bidir_fwd(*args):
-    return _fused_bidir_impl(*args), args
+    import os
+    u2 = args[0]
+    if (_bidir_plan(u2.shape[-1])[1] > 1
+            and not os.environ.get("XPOINT_UNFUSED_BWD")):
+        # compact-group path: run the kernel emitting per-chunk entry-state
+        # checkpoints so the fused backward kernel can recompute h locally
+        y4, hck = _fused_bidir_impl(*args, emit_ckpt=True)
+        return y4, (args, hck)
+    return _fused_bidir_impl(*args), (args, None)
 
 
 def _fused_bidir_bwd(res, g):
-    _, vjp = jax.vjp(_unfused_bidir_ref, *res)
+    args, hck = res
+    if hck is not None:
+        return _fused_bidir_bwd_impl(args, hck, g)
+    # group-less layouts: differentiate through the flip-based jnp
+    # composition (linear_scan supplies the recurrence vjp)
+    _, vjp = jax.vjp(_unfused_bidir_ref, *args)
     return vjp(g.astype(jnp.float32))
 
 
