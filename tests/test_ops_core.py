@@ -142,6 +142,24 @@ def test_box_nms_matches_reference_semantics():
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+def test_grid_nms_pallas_matches_xla_path():
+    """The VMEM-resident Pallas NMS fixed point (TPU hot path) must equal
+    the XLA sweep formulation exactly (interpret mode on CPU), including
+    the long-chain ramp and empty heatmaps."""
+    from xpoint_tpu.ops.nms import _grid_nms_keep, _grid_nms_keep_pallas
+    rng = np.random.default_rng(11)
+    prob = rng.uniform(size=(2, 64, 128)).astype(np.float32)
+    prob[prob < 0.7] = 0.0
+    prob[1, :, :64] = np.linspace(1.0, 0.6, 64)[None, :]   # ramp chains
+    prob[0, 40:] = 0.0                                      # sparse region
+    for size, thr in [(8, 0.015), (4, 0.5)]:
+        valid = jnp.asarray(prob) > thr
+        ref = np.asarray(_grid_nms_keep(jnp.asarray(prob), valid, size, 0.1))
+        pal = np.asarray(_grid_nms_keep_pallas(jnp.asarray(prob), valid,
+                                               size, 0.1))
+        np.testing.assert_array_equal(pal, ref)
+
+
 def test_box_nms_long_suppression_chain_converges():
     """A monotone ramp builds a suppression chain needing ~2 sweeps per
     kept point; at 256 columns that's ~128 sweeps — past the old fixed cap

@@ -14,6 +14,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _overlap_widths(size, iou):
@@ -29,6 +31,98 @@ def _overlap_widths(size, iou):
                 w = dx
         widths.append(w)
     return widths
+
+
+def _nms_sweep_kernel(p_ref, keep_ref, keep_scr, *, size, iou, widths):
+    """Whole-heatmap NMS fixed point in VMEM (one grid step per sample).
+
+    The XLA formulation of the same sweep round-trips several (B, H, W)
+    planes through HBM per sweep (profiled 8.4 ms/batch at 512^2 B=8, the
+    reduce_window stages don't fuse); here the heatmap is read ONCE, all
+    sweeps run on VMEM-resident data, and only the kept mask is written
+    back. Shifts are static pad/slice (concatenate with -inf borders), so
+    out-of-image neighborhoods are exactly -inf like the XLA path.
+
+    The evolving keep mask lives in a VMEM SCRATCH ref and the while loop
+    carries only two scalars — Mosaic mis-lowers big (or boolean) vector
+    loop carries, and a (512, 512) plane is 256 vregs of carry otherwise.
+    """
+    neg = jnp.float32(-jnp.inf)
+    p = p_ref[0].astype(jnp.float32)              # (H, W)
+    H, W = p.shape
+    max_w = max(w for w in widths if w >= 0)
+    keep_scr[...] = jnp.where(p > 0.0, 1.0, 0.0)  # caller pre-thresholds
+
+    def shift_x(a, d):
+        fill = jnp.full((H, abs(d)), neg, jnp.float32)
+        if d > 0:
+            return jnp.concatenate([a[:, d:], fill], axis=1)
+        return jnp.concatenate([fill, a[:, :d]], axis=1)
+
+    def shift_y(a, d):
+        fill = jnp.full((abs(d), W), neg, jnp.float32)
+        if d > 0:
+            return jnp.concatenate([a[d:, :], fill], axis=0)
+        return jnp.concatenate([fill, a[:d, :]], axis=0)
+
+    def neighbor_max(S):
+        # incremental horizontal running maxes: row_max[w] = max |dx|<=w
+        row_max = {0: S}
+        for w in range(1, max_w + 1):
+            row_max[w] = jnp.maximum(row_max[w - 1],
+                                     jnp.maximum(shift_x(S, w),
+                                                 shift_x(S, -w)))
+        out = jnp.full_like(S, neg)
+        for dy in range(-(size - 1), size):
+            w = widths[abs(dy)]
+            if w < 0:
+                continue
+            r = row_max[w]
+            out = jnp.maximum(out, r if dy == 0 else shift_y(r, dy))
+        return out
+
+    def cond(state):
+        changed, it = state
+        return jnp.logical_and(changed > 0, it < H * W)
+
+    def body(state):
+        _, it = state
+        keep = keep_scr[...]
+        S = jnp.where(keep > 0.5, p, neg)
+        new = jnp.where((p > 0.0) & ~(neighbor_max(S) > p), 1.0, 0.0)
+        keep_scr[...] = new
+        changed = jnp.sum((new != keep).astype(jnp.int32))
+        return changed, it + 1
+
+    jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+    keep_ref[0] = keep_scr[...]
+
+
+@partial(jax.jit, static_argnames=("size", "iou"))
+def _grid_nms_keep_pallas(prob, valid, size, iou):
+    """VMEM-resident NMS fixed point; same contract as _grid_nms_keep."""
+    B, H, W = prob.shape
+    p = jnp.where(valid, prob.astype(jnp.float32), 0.0)
+    widths = tuple(_overlap_widths(size, iou))
+    keep = pl.pallas_call(
+        partial(_nms_sweep_kernel, size=size, iou=iou, widths=widths),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((H, W), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=(jax.default_backend() == "cpu"),
+    )(p)
+    return (keep > 0.5) & valid
+
+
+def _nms_vmem_ok(H, W):
+    # whole-heatmap VMEM residency: p + ~6 live sweep planes, fp32
+    return H * W * 4 * 8 <= 12 * 1024 * 1024 and W % 128 == 0 and H % 8 == 0
 
 
 @partial(jax.jit, static_argnames=("size", "iou"))
@@ -53,6 +147,12 @@ def _grid_nms_keep(prob, valid, size, iou):
     prob: (B, H, W); valid: (B, H, W) bool (above-threshold).
     Returns keep: (B, H, W) bool.
     """
+    if (jax.default_backend() == "tpu"
+            and _nms_vmem_ok(prob.shape[1], prob.shape[2])):
+        # whole-heatmap-in-VMEM Pallas fixed point (identical sweeps, no
+        # per-sweep HBM round trips); XLA fallback below for CPU and
+        # shapes that exceed VMEM
+        return _grid_nms_keep_pallas(prob, valid, size, iou)
     widths = _overlap_widths(size, iou)
     neg = jnp.float32(-jnp.inf)   # below any real score
 
