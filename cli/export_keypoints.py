@@ -30,6 +30,12 @@ def main():
                         help='Backup the output HDF5 every f batches')
     parser.add_argument('-s', '--seed', default=0, type=int)
     parser.add_argument('--max-samples', default=None, type=int)
+    parser.add_argument('--batch', default=None, type=int,
+                        help='Samples per HA step; defaults to the device '
+                             'count. On a multi-chip mesh the batch is '
+                             'sharded across chips (the reference '
+                             'DataParallel-wraps its HA warper, '
+                             'export_keypoints.py:151-154)')
     args = parser.parse_args()
     set_seeds(args.seed)
 
@@ -52,6 +58,28 @@ def main():
     run_ha, merged_ha = make_ha_fn(prob_fn, ha_cfg)
     window_mode = merged_ha['aggregation'] == 'window'
 
+    # multi-chip: shard sample batches over the mesh (each chip runs the
+    # full HA program on its shard; outputs identical to single-chip)
+    from xpoint_tpu.parallel import make_mesh
+    mesh = make_mesh(None)
+    n_dev = int(mesh.devices.size)
+    batch = args.batch or n_dev
+    batch = max(batch // n_dev, 1) * n_dev
+    run_ha_sharded = None
+    if n_dev > 1 and batch > 1:
+        from xpoint_tpu.selfsup.homographic_adaptation import \
+            make_sharded_ha_fn
+
+        def make_prob_fn(v):
+            def pf(img, is_optical):
+                out = module.apply(v, img,
+                                   "optical" if is_optical else "thermal")
+                return prob_from_logits(out['logits'],
+                                        module.encoder_downsample_ratio)
+            return pf
+
+        run_ha_sharded, _ = make_sharded_ha_fn(make_prob_fn, ha_cfg, mesh)
+
     # resume: collect already-exported sample names (reference :163-169)
     done = set()
     if args.skip_processed and os.path.exists(args.output_file):
@@ -65,37 +93,59 @@ def main():
 
     mode = 'a' if os.path.exists(args.output_file) else 'w'
     with h5py.File(args.output_file, mode) as out_file:
-        for idx in range(n):
-            name = dataset.get_name(idx)
-            if name in done or name in out_file:
-                continue
-            sample = dataset[idx]
-            img_o = np.asarray(sample['optical']['image'])[None]
-            img_t = np.asarray(sample['thermal']['image'])[None]
+        pending = [i for i in range(n)
+                   if dataset.get_name(i) not in done
+                   and dataset.get_name(i) not in out_file]
+        pos = 0
+        step = 0
+        n_done = 0
+        while pos < len(pending):
+            chunk = pending[pos:pos + batch]
+            pos += len(chunk)
+            step += 1
+            samples = [dataset[i] for i in chunk]
+            img_o = np.stack([np.asarray(s['optical']['image'])
+                              for s in samples])
+            img_t = np.stack([np.asarray(s['thermal']['image'])
+                              for s in samples])
 
-            # masks are derived on device from the homographies: only
-            # (num-1) 3x3 matrices cross the host->device link per sample
+            # ONE homography stack per chunk (reference batch semantics:
+            # the HA warper applies the same sampled warps to the whole
+            # batch); masks derive on device — only (num-1) 3x3 matrices
+            # cross the host->device link per chunk
             Hs, _ = sample_ha_homographies(merged_ha, img_o.shape[1:3], rng,
                                            with_masks=False)
-            out = run_ha(jnp.asarray(img_o), jnp.asarray(img_t),
-                         jnp.asarray(Hs))
-
-            def extract(prob):
-                p = infer.nms(np.asarray(prob))
-                return infer.keypoints_from_prob(p[0])
-
-            grp = out_file.create_group(name)
-            if window_mode:
-                grp.create_dataset('keypoints_optical',
-                                   data=extract(out['prob_optical']))
-                grp.create_dataset('keypoints_thermal',
-                                   data=extract(out['prob_thermal']))
+            if run_ha_sharded is not None and len(chunk) == batch:
+                out = run_ha_sharded(variables, jnp.asarray(img_o),
+                                     jnp.asarray(img_t), jnp.asarray(Hs))
             else:
-                grp.create_dataset('keypoints', data=extract(out['prob']))
-            out_file.flush()
+                # remainder (or single-device): unsharded program
+                out = run_ha(jnp.asarray(img_o), jnp.asarray(img_t),
+                             jnp.asarray(Hs))
 
-            if args.frequency and (idx + 1) % max(args.frequency, 1) == 0:
-                print(f"[{idx + 1}/{n}] exported {name}", flush=True)
+            def extract_all(prob):
+                p = infer.nms(np.asarray(prob))
+                return [infer.keypoints_from_prob(p[b])
+                        for b in range(len(chunk))]
+
+            if window_mode:
+                kps_o = extract_all(out['prob_optical'])
+                kps_t = extract_all(out['prob_thermal'])
+            else:
+                kps = extract_all(out['prob'])
+            for b, i in enumerate(chunk):
+                grp = out_file.create_group(dataset.get_name(i))
+                if window_mode:
+                    grp.create_dataset('keypoints_optical', data=kps_o[b])
+                    grp.create_dataset('keypoints_thermal', data=kps_t[b])
+                else:
+                    grp.create_dataset('keypoints', data=kps[b])
+            out_file.flush()
+            n_done += len(chunk)
+
+            if args.frequency and step % max(args.frequency, 1) == 0:
+                print(f"[{n_done}/{len(pending)}] exported through "
+                      f"{dataset.get_name(chunk[-1])}", flush=True)
                 shutil.copyfile(args.output_file, args.output_file + '.bak')
 
     print(f"done: keypoints written to {args.output_file}")

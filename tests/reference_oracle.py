@@ -128,6 +128,14 @@ def _install_stubs():
     # triton: the reference's csm_triton.py applies @triton.jit at module
     # level unguarded, so it cannot even import without triton. Provide a
     # no-op stub; the torch fallback is forced post-import in get_reference.
+    # Pre-import torch._dynamo FIRST: its lazy import (triggered e.g. by
+    # torch.optim.Adam.__init__) does `import triton.backends.compiler`,
+    # which explodes on a non-package stub. Importing it now lets torch's
+    # triton detection observe the real (triton-less) environment once.
+    try:
+        import torch._dynamo  # noqa: F401
+    except Exception:
+        pass
     triton = types.ModuleType("triton")
     tl = types.ModuleType("triton.language")
     triton.jit = lambda fn=None, **k: (fn if fn is not None else (lambda f: f))

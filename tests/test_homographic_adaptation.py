@@ -100,3 +100,40 @@ def test_ha_window_mode_outputs_two_maps():
     pt = np.asarray(out['prob_thermal'])
     assert po.shape == (1, H, W) and pt.shape == (1, H, W)
     assert po[0, 8, 8] > 0          # co-located detections survive
+
+
+def test_sharded_ha_matches_single_device_exactly():
+    """make_sharded_ha_fn over the virtual 8-device mesh must produce
+    BIT-identical per-sample outputs to the unsharded program (the HA
+    computation is per-sample independent; sharding is pure DataParallel,
+    reference homographies.py:95-98)."""
+    from xpoint_tpu.parallel import make_mesh
+    from xpoint_tpu.selfsup.homographic_adaptation import (
+        make_ha_fn, make_sharded_ha_fn, sample_ha_homographies)
+
+    H = W = 32
+    B = 8
+    rng = np.random.default_rng(7)
+    img_o = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+    img_t = jnp.asarray(rng.uniform(size=(B, H, W, 1)).astype(np.float32))
+
+    # a sample-dependent "detector" so every shard computes distinct maps
+    def prob_fn(img, is_optical):
+        base = jnp.squeeze(img, -1)
+        return base * (0.5 if is_optical else 0.8)
+
+    cfg = {'num': 4, 'aggregation': 'prod', 'min_count': 1,
+           'erosion_radius': 2}
+    Hs, _ = sample_ha_homographies(
+        dict(cfg, homographies={}), (H, W), np.random.default_rng(5),
+        with_masks=False)
+
+    run_single, _ = make_ha_fn(prob_fn, cfg)
+    ref = run_single(img_o, img_t, jnp.asarray(Hs))
+
+    mesh = make_mesh(8)
+    run_sharded, _ = make_sharded_ha_fn(lambda v: prob_fn, cfg, mesh)
+    out = run_sharded({}, img_o, img_t, jnp.asarray(Hs))
+
+    np.testing.assert_array_equal(np.asarray(out['prob']),
+                                  np.asarray(ref['prob']))

@@ -161,115 +161,153 @@ def make_ha_fn(prob_fn, config=None, warp_batch=8):
     if cfg['aggregation'] == 'window' and cfg['filter_size'] > 0:
         raise ValueError('window aggregation requires filter_size == 0')
 
+    run = jax.jit(partial(_ha_run_impl, prob_fn, cfg, warp_batch))
+    return run, cfg
+
+
+def _ha_run_impl(prob_fn, cfg, warp_batch, img_o, img_t, homographies,
+                 valid_masks=None):
+    """The HA program body (unjitted; make_ha_fn jits it, the sharded
+    export wraps it in shard_map over the batch axis)."""
     agg = cfg['aggregation']
     fs = cfg['filter_size']
 
     def maybe_smooth(p):
         return _smooth(p, fs) if fs > 0 else p
 
-    @jax.jit
-    def run(img_o, img_t, homographies, valid_masks=None):
-        B = img_o.shape[0]
-        n = homographies.shape[0]
-        if valid_masks is None:
-            valid_masks = compute_valid_mask_device(
-                homographies, img_o.shape[1:3],
-                cfg['erosion_radius'], cfg['mask_border'])
-        wb = max(min(warp_batch, n), 1) if n else 1
-        if n % wb != 0:
-            # pad with identity homographies + ZERO masks (count 0 => inert)
-            pad = wb - n % wb
-            homographies = jnp.concatenate(
-                [homographies,
-                 jnp.broadcast_to(jnp.eye(3, dtype=homographies.dtype),
-                                  (pad, 3, 3))], 0)
-            valid_masks = jnp.concatenate(
-                [valid_masks, jnp.zeros((pad,) + valid_masks.shape[1:],
-                                        valid_masks.dtype)], 0)
-        homographies = homographies.reshape(-1, wb, 3, 3)
-        valid_masks = valid_masks.reshape((-1, wb) + valid_masks.shape[1:])
-        prob_o = maybe_smooth(prob_fn(img_o, True))
-        prob_t = maybe_smooth(prob_fn(img_t, False))
-        count = jnp.ones_like(prob_o)
+    B = img_o.shape[0]
+    n = homographies.shape[0]
+    if valid_masks is None:
+        valid_masks = compute_valid_mask_device(
+            homographies, img_o.shape[1:3],
+            cfg['erosion_radius'], cfg['mask_border'])
+    wb = max(min(warp_batch, n), 1) if n else 1
+    if n % wb != 0:
+        # pad with identity homographies + ZERO masks (count 0 => inert)
+        pad = wb - n % wb
+        homographies = jnp.concatenate(
+            [homographies,
+             jnp.broadcast_to(jnp.eye(3, dtype=homographies.dtype),
+                              (pad, 3, 3))], 0)
+        valid_masks = jnp.concatenate(
+            [valid_masks, jnp.zeros((pad,) + valid_masks.shape[1:],
+                                    valid_masks.dtype)], 0)
+    homographies = homographies.reshape(-1, wb, 3, 3)
+    valid_masks = valid_masks.reshape((-1, wb) + valid_masks.shape[1:])
+    prob_o = maybe_smooth(prob_fn(img_o, True))
+    prob_t = maybe_smooth(prob_fn(img_t, False))
+    count = jnp.ones_like(prob_o)
 
-        if agg == 'prod':
-            acc = prob_o * prob_t
-            acc_o = acc_t = jnp.zeros_like(acc)
-        elif agg == 'sum':
-            acc = prob_o + prob_t
-            acc_o = acc_t = jnp.zeros_like(acc)
-        elif agg == 'window':
-            acc_o, acc_t = search_window(prob_o, prob_t, cfg['window_size'],
-                                         cfg['weighted_window'])
-            acc = jnp.zeros_like(acc_o)
-        else:
-            raise ValueError(f'unknown aggregation: {agg}')
+    if agg == 'prod':
+        acc = prob_o * prob_t
+        acc_o = acc_t = jnp.zeros_like(acc)
+    elif agg == 'sum':
+        acc = prob_o + prob_t
+        acc_o = acc_t = jnp.zeros_like(acc)
+    elif agg == 'window':
+        acc_o, acc_t = search_window(prob_o, prob_t, cfg['window_size'],
+                                     cfg['weighted_window'])
+        acc = jnp.zeros_like(acc_o)
+    else:
+        raise ValueError(f'unknown aggregation: {agg}')
 
-        def body(carry, inputs):
-            acc, acc_o, acc_t, count = carry
-            Hmats, vmasks = inputs               # (wb, 3, 3), (wb, H, W)
-            # ONE shared-index multi-warp applies every homography to both
-            # spectra at once (index maps shared over batch AND channel —
-            # ~3x fewer gather cycles than wb*B independent warps).
-            stacked = jnp.concatenate([img_o, img_t], axis=-1)   # (B,H,W,2)
-            w = _warp_multi(stacked, Hmats, "bilinear", "reflection")
-            w = w.reshape((wb * B,) + w.shape[2:])               # (wb*B,H,W,2)
-            po = maybe_smooth(prob_fn(w[..., :1], True))         # (wb*B,H,W)
-            pt = maybe_smooth(prob_fn(w[..., 1:], False))
-            po = po.reshape((wb, B) + po.shape[1:])
-            pt = pt.reshape((wb, B) + pt.shape[1:])
+    def body(carry, inputs):
+        acc, acc_o, acc_t, count = carry
+        Hmats, vmasks = inputs               # (wb, 3, 3), (wb, H, W)
+        # ONE shared-index multi-warp applies every homography to both
+        # spectra at once (index maps shared over batch AND channel —
+        # ~3x fewer gather cycles than wb*B independent warps).
+        stacked = jnp.concatenate([img_o, img_t], axis=-1)   # (B,H,W,2)
+        w = _warp_multi(stacked, Hmats, "bilinear", "reflection")
+        w = w.reshape((wb * B,) + w.shape[2:])               # (wb*B,H,W,2)
+        po = maybe_smooth(prob_fn(w[..., :1], True))         # (wb*B,H,W)
+        pt = maybe_smooth(prob_fn(w[..., 1:], False))
+        po = po.reshape((wb, B) + po.shape[1:])
+        pt = pt.reshape((wb, B) + pt.shape[1:])
 
-            Hinv = jnp.linalg.inv(Hmats)                         # (wb, 3, 3)
-            # the valid masks don't vary over B: unwarp once per homography
-            count_sample = _warp_batch(
-                vmasks[..., None], Hinv, "nearest", "zeros")[..., 0]
-            count_sample = count_sample[:, None]                 # (wb,1,H,W)
+        Hinv = jnp.linalg.inv(Hmats)                         # (wb, 3, 3)
+        # the valid masks don't vary over B: unwarp once per homography
+        count_sample = _warp_batch(
+            vmasks[..., None], Hinv, "nearest", "zeros")[..., 0]
+        count_sample = count_sample[:, None]                 # (wb,1,H,W)
 
-            def unwarp(p):                                       # (wb,B',H,W)
-                # B rides the channel axis so the inverse-warp gather's
-                # index maps are shared across the batch
-                u = _warp_batch(p.transpose(0, 2, 3, 1), Hinv,
-                                "bilinear", "zeros")
-                return u.transpose(0, 3, 1, 2)
-
-            if agg == 'window':
-                u = unwarp(jnp.concatenate([po, pt], axis=1))    # (wb,2B,H,W)
-                flat = lambda x: x.reshape((-1,) + x.shape[2:])
-                fo, ft = search_window(flat(u[:, :B]), flat(u[:, B:]),
-                                       cfg['window_size'],
-                                       cfg['weighted_window'])
-                fo = fo.reshape((wb, B) + fo.shape[1:])
-                ft = ft.reshape((wb, B) + ft.shape[1:])
-                acc_o = acc_o + (fo * count_sample).sum(0)
-                acc_t = acc_t + (ft * count_sample).sum(0)
-            else:
-                pw = po * pt if agg == 'prod' else po + pt       # (wb,B,H,W)
-                acc = acc + (unwarp(pw) * count_sample).sum(0)
-            count = count + count_sample.sum(0)
-            return (acc, acc_o, acc_t, count), None
-
-        (acc, acc_o, acc_t, count), _ = jax.lax.scan(
-            body, (acc, acc_o, acc_t, count), (homographies, valid_masks))
+        def unwarp(p):                                       # (wb,B',H,W)
+            # B rides the channel axis so the inverse-warp gather's
+            # index maps are shared across the batch
+            u = _warp_batch(p.transpose(0, 2, 3, 1), Hinv,
+                            "bilinear", "zeros")
+            return u.transpose(0, 3, 1, 2)
 
         if agg == 'window':
-            out_o = acc_o / count
-            out_t = acc_t / count
-            if cfg['min_count'] > 0:
-                keep = count >= cfg['min_count']
-                out_o = jnp.where(keep, out_o, 0.0)
-                out_t = jnp.where(keep, out_t, 0.0)
-            return {'prob': None, 'prob_optical': out_o, 'prob_thermal': out_t}
+            u = unwarp(jnp.concatenate([po, pt], axis=1))    # (wb,2B,H,W)
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])
+            fo, ft = search_window(flat(u[:, :B]), flat(u[:, B:]),
+                                   cfg['window_size'],
+                                   cfg['weighted_window'])
+            fo = fo.reshape((wb, B) + fo.shape[1:])
+            ft = ft.reshape((wb, B) + ft.shape[1:])
+            acc_o = acc_o + (fo * count_sample).sum(0)
+            acc_t = acc_t + (ft * count_sample).sum(0)
+        else:
+            pw = po * pt if agg == 'prod' else po + pt       # (wb,B,H,W)
+            acc = acc + (unwarp(pw) * count_sample).sum(0)
+        count = count + count_sample.sum(0)
+        return (acc, acc_o, acc_t, count), None
 
-        out = acc / count
-        if agg == 'prod':
-            out = jnp.sqrt(out)
-        elif agg == 'sum':
-            out = out * 0.5
+    (acc, acc_o, acc_t, count), _ = jax.lax.scan(
+        body, (acc, acc_o, acc_t, count), (homographies, valid_masks))
+
+    if agg == 'window':
+        out_o = acc_o / count
+        out_t = acc_t / count
         if cfg['min_count'] > 0:
-            out = jnp.where(count >= cfg['min_count'], out, 0.0)
-        return {'prob': out, 'prob_optical': None, 'prob_thermal': None}
+            keep = count >= cfg['min_count']
+            out_o = jnp.where(keep, out_o, 0.0)
+            out_t = jnp.where(keep, out_t, 0.0)
+        return {'prob': None, 'prob_optical': out_o, 'prob_thermal': out_t}
 
-    return run, cfg
+    out = acc / count
+    if agg == 'prod':
+        out = jnp.sqrt(out)
+    elif agg == 'sum':
+        out = out * 0.5
+    if cfg['min_count'] > 0:
+        out = jnp.where(count >= cfg['min_count'], out, 0.0)
+    return {'prob': out, 'prob_optical': None, 'prob_thermal': None}
+
+
+def make_sharded_ha_fn(make_prob_fn, config, mesh, warp_batch=8):
+    """Mesh-sharded HA program for multi-chip pseudo-GT export — the
+    TPU-native analog of the reference's DataParallel-wrapped warper
+    (homographies.py:95-98, export_keypoints.py:151-154): the sample batch
+    is sharded over the mesh's 'data' axis and each chip runs the full
+    warp->forward->unwarp->aggregate program on its shard (embarrassingly
+    parallel — no collectives). Per-sample outputs are bit-identical to
+    the single-chip path because every per-sample computation is
+    independent (eval-mode forward, per-sample warps/aggregation).
+
+    Args:
+        make_prob_fn: variables -> prob_fn(img, is_optical) (variables must
+            be an explicit argument so shard_map can mark them replicated
+            rather than baking 80 MB of closure constants into the program).
+        mesh: jax.sharding.Mesh with a 'data' axis; the batch must be a
+            multiple of its size.
+
+    Returns (run(variables, img_o, img_t, homographies) -> dict, merged_cfg).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    cfg = dict_update(copy.deepcopy(HA_DEFAULT_CONFIG), config or {})
+
+    def local(variables, img_o, img_t, homographies):
+        return _ha_run_impl(make_prob_fn(variables), cfg, warp_batch,
+                            img_o, img_t, homographies, None)
+
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(P(), P('data'), P('data'), P()),
+                        out_specs=P('data'), check_rep=False)
+    return jax.jit(sharded), cfg
 
 
 def homographic_adaptation_multispectral(img_o, img_t, prob_fn, config=None,
