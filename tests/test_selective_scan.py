@@ -216,6 +216,67 @@ def test_fused_bidir_matches_flip_reference():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_bidir_tok_matches_standard_layout():
+    """Token-major variant (operands in the kernel's (L, M) lane order —
+    no standalone relayouts) must equal selective_scan_fused_bidir under
+    the layout mapping, forward and backward."""
+    from xpoint_tpu.ops.selective_scan_pallas import (
+        selective_scan_fused_bidir, selective_scan_fused_bidir_tok)
+    rng = np.random.default_rng(3)
+    B, L, Dim = 2, 300, 24
+    u2 = jnp.asarray(rng.normal(size=(B, 2, L, Dim)).astype(np.float32))
+    dt4 = jnp.asarray(rng.normal(size=(B, 4, L, Dim)).astype(np.float32)) * .5
+    bc4 = jnp.asarray(rng.normal(size=(B, 4, L, 1)).astype(np.float32))
+    cc4 = jnp.asarray(rng.normal(size=(B, 4, L, 1)).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(
+        rng.normal(size=(4 * Dim,)).astype(np.float32)) * 0.3)
+    D = jnp.asarray(rng.normal(size=(4 * Dim,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(4 * Dim,)).astype(np.float32)) * 0.2
+
+    # layout mapping: k = 2r + j; tok tensors are (r-major,) L-major, b, j
+    u_t = u2.transpose(2, 0, 1, 3)                        # (L, B, 2, Dim)
+    dt_t = jnp.stack([dt4[:, 0:2].transpose(2, 0, 1, 3),
+                      dt4[:, 2:4].transpose(2, 0, 1, 3)])
+    bc_t = jnp.stack([bc4[:, 0:2, :, 0].transpose(2, 0, 1),
+                      bc4[:, 2:4, :, 0].transpose(2, 0, 1)])
+    cc_t = jnp.stack([cc4[:, 0:2, :, 0].transpose(2, 0, 1),
+                      cc4[:, 2:4, :, 0].transpose(2, 0, 1)])
+
+    y4 = selective_scan_fused_bidir(u2, dt4, bc4, cc4, A, D, bias)
+    y_f, y_r = selective_scan_fused_bidir_tok(u_t, dt_t, bc_t, cc_t,
+                                              A, D, bias)
+    np.testing.assert_allclose(
+        np.asarray(y_f), np.asarray(y4[:, 0:2].transpose(2, 0, 1, 3)),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(y_r), np.asarray(y4[:, 2:4].transpose(2, 0, 1, 3)),
+        rtol=1e-4, atol=1e-5)
+
+    # grads: same scalar loss through both layouts
+    def f_std(u2, dt4, bc4, cc4, A, D, bias):
+        y = selective_scan_fused_bidir(u2, dt4, bc4, cc4, A, D, bias)
+        return (y ** 2).sum()
+
+    def f_tok(u2, dt4, bc4, cc4, A, D, bias):
+        yf, yr = selective_scan_fused_bidir_tok(
+            u2.transpose(2, 0, 1, 3),
+            jnp.stack([dt4[:, 0:2].transpose(2, 0, 1, 3),
+                       dt4[:, 2:4].transpose(2, 0, 1, 3)]),
+            jnp.stack([bc4[:, 0:2, :, 0].transpose(2, 0, 1),
+                       bc4[:, 2:4, :, 0].transpose(2, 0, 1)]),
+            jnp.stack([cc4[:, 0:2, :, 0].transpose(2, 0, 1),
+                       cc4[:, 2:4, :, 0].transpose(2, 0, 1)]),
+            A, D, bias)
+        return (yf ** 2).sum() + (yr ** 2).sum()
+
+    args = (u2, dt4, bc4, cc4, A, D, bias)
+    g_std = jax.grad(f_std, argnums=tuple(range(7)))(*args)
+    g_tok = jax.grad(f_tok, argnums=tuple(range(7)))(*args)
+    for gs, gt in zip(g_std, g_tok):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gs),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_ss2d_bidir_path_matches_ref_backend():
     """SS2D cross2d + N=1 + pallas dispatches to the flip-free bidirectional
     path; output and parameter gradients must match the ref backend."""

@@ -238,23 +238,49 @@ class SS2D(nn.Module):
             # the reversed directions right-to-left. No flipped copies of
             # the (B, K, L, D) planes ever touch HBM, and the merge is a
             # plain sum (csm_triton.py cross_scan/cross_merge equivalent).
-            from ..ops.selective_scan_pallas import selective_scan_fused_bidir
-            row = xs.reshape(B, L, D)
-            col = xs.transpose(0, 2, 1, 3).reshape(B, L, D)
-            xk2 = jnp.stack([row, col], axis=1)               # (B, 2, L, D)
-            # direction k = 2r + j (r=reversed?, j=base order)
-            w4 = x_proj_w.astype(xk2.dtype).reshape(2, 2, R + 2 * N, D)
-            x_dbl = jnp.einsum("bjld,rjcd->brjlc", xk2, w4)
-            x_dbl = x_dbl.reshape(B, K, L, R + 2 * N)
-            dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
-            dts = jnp.einsum("bklr,kdr->bkld", dts, dt_w_c.astype(dts.dtype))
-            ys = selective_scan_fused_bidir(
-                xk2, dts, Bs, Cs, -jnp.exp(A_logs.reshape(-1)), Ds,
-                dt_bias.reshape(-1))                          # (B, 4, L, D)
-            y_row = ys[:, 0] + ys[:, 2]
-            y_col = ys[:, 1] + ys[:, 3]
-            y = (y_row.reshape(B, H, W, D)
-                 + y_col.reshape(B, W, H, D).transpose(0, 2, 1, 3))
+            from ..ops.selective_scan_pallas import (
+                _bidir_plan, selective_scan_fused_bidir,
+                selective_scan_fused_bidir_tok)
+            if _bidir_plan(D)[1] > 1:
+                # token-major layout: every operand is PRODUCED in the
+                # kernel's (L, (b, j, d)) lane order by the einsums'
+                # output orders, so the scan sees only free reshapes —
+                # no standalone (B, K, L, D) <-> (L, M) transposes (the
+                # 'data formatting' tail in the xprof breakdown).
+                u_t = jnp.stack(
+                    [xs.transpose(1, 2, 0, 3).reshape(L, B, D),
+                     xs.transpose(2, 1, 0, 3).reshape(L, B, D)],
+                    axis=2)                                   # (L, B, 2, D)
+                w4 = x_proj_w.astype(u_t.dtype).reshape(2, 2, R + 2 * N, D)
+                x_dbl = jnp.einsum("lbjd,rjcd->rlbjc", u_t, w4)
+                dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+                dts = jnp.einsum(
+                    "rlbjs,rjds->rlbjd", dts,
+                    dt_w_c.astype(dts.dtype).reshape(2, 2, D, R))
+                ys_f, ys_r = selective_scan_fused_bidir_tok(
+                    u_t, dts, Bs[..., 0], Cs[..., 0],
+                    -jnp.exp(A_logs.reshape(-1)), Ds, dt_bias.reshape(-1))
+                ysum = ys_f + ys_r                            # (L, B, 2, D)
+                y = (ysum[:, :, 0].reshape(H, W, B, D).transpose(2, 0, 1, 3)
+                     + ysum[:, :, 1].reshape(W, H, B, D).transpose(2, 1, 0, 3))
+            else:
+                row = xs.reshape(B, L, D)
+                col = xs.transpose(0, 2, 1, 3).reshape(B, L, D)
+                xk2 = jnp.stack([row, col], axis=1)           # (B, 2, L, D)
+                # direction k = 2r + j (r=reversed?, j=base order)
+                w4 = x_proj_w.astype(xk2.dtype).reshape(2, 2, R + 2 * N, D)
+                x_dbl = jnp.einsum("bjld,rjcd->brjlc", xk2, w4)
+                x_dbl = x_dbl.reshape(B, K, L, R + 2 * N)
+                dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+                dts = jnp.einsum("bklr,kdr->bkld", dts,
+                                 dt_w_c.astype(dts.dtype))
+                ys = selective_scan_fused_bidir(
+                    xk2, dts, Bs, Cs, -jnp.exp(A_logs.reshape(-1)), Ds,
+                    dt_bias.reshape(-1))                      # (B, 4, L, D)
+                y_row = ys[:, 0] + ys[:, 2]
+                y_col = ys[:, 1] + ys[:, 3]
+                y = (y_row.reshape(B, H, W, D)
+                     + y_col.reshape(B, W, H, D).transpose(0, 2, 1, 3))
         else:
             xk = cross_scan(xs, self.scan_mode)               # (B, K, L, D)
             x_dbl = jnp.einsum("bkld,kcd->bklc", xk, x_proj_w.astype(xk.dtype))
