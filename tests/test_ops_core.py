@@ -329,3 +329,46 @@ def test_box_nms_extract_matches_separate_path():
     np.testing.assert_array_equal(np.asarray(kps)[:n], np.asarray(kps_ref)[:n])
     np.testing.assert_allclose(np.asarray(sc)[:n], np.asarray(sc_ref)[:n],
                                atol=1e-6)
+
+
+def test_box_nms_extract_block_topk_parity():
+    """The block-max top-k fast path (survivors can't share a b x b block)
+    must return the same keypoint set as the flat H*W top-k, both on a
+    dense heatmap at the bench operating point and through the fallback
+    when k exceeds the block count."""
+    from xpoint_tpu.ops.nms import (box_nms_extract, _grid_nms_keep,
+                                    _nms_block_edge)
+    rng = np.random.default_rng(7)
+    H = W = 256
+    prob = rng.uniform(size=(H, W)).astype(np.float32)
+    prob[prob < 0.3] = 0.0                     # dense survivors
+    size, iou, min_prob = 8, 0.1, 0.015
+    assert _nms_block_edge(size, iou, H, W) == 4
+
+    kps, sc, m = box_nms_extract(jnp.asarray(prob), size, min_prob,
+                                 iou=iou, k=1024)
+    # flat reference path computed by hand
+    keep = _grid_nms_keep(jnp.asarray(prob)[None],
+                          jnp.asarray(prob > min_prob)[None], size, iou)[0]
+    import jax.lax
+    kept = np.where(np.asarray(keep), prob, 0.0).reshape(-1)
+    sc_ref, idx_ref = jax.lax.top_k(jnp.asarray(kept), 1024)
+    m_ref = np.asarray(sc_ref) > min_prob
+    n = int(m_ref.sum())
+    assert n > 100                              # the case has real density
+    np.testing.assert_array_equal(np.asarray(m), m_ref)
+    # same keypoint SET with same scores (tie order between equal scores
+    # in different blocks may differ; scores here are continuous)
+    got = {tuple(map(int, kp)) for kp in np.asarray(kps)[:n]}
+    want = {(int(i) // W, int(i) % W) for i in np.asarray(idx_ref)[:n]}
+    assert got == want
+    np.testing.assert_allclose(np.sort(np.asarray(sc)[:n]),
+                               np.sort(np.asarray(sc_ref)[:n]), atol=1e-6)
+
+    # k larger than the block count -> flat fallback still correct
+    kps2, sc2, m2 = box_nms_extract(jnp.asarray(prob), size, min_prob,
+                                    iou=iou, k=8192)
+    n2 = int(np.asarray(m2).sum())
+    assert n2 == n
+    got2 = {tuple(map(int, kp)) for kp in np.asarray(kps2)[:n2]}
+    assert got2 == want

@@ -240,6 +240,23 @@ def box_nms(prob, size, min_prob, iou=0.1, keep_top_k=0, max_candidates=4096):
     return out[0] if squeeze else out
 
 
+def _nms_block_edge(size, iou, H, W):
+    """Largest power-of-2 block edge b such that two NMS survivors can
+    never share a b x b block: same-block pixels sit at offsets
+    |dy|, |dx| <= b-1, whose box overlap (s-|dy|)(s-|dx|) >= (s-(b-1))^2
+    exceeds the suppression threshold, so one of any same-block pair is
+    always suppressed (exact score ties excepted — measure-zero, see
+    _grid_nms_keep). 0 if no admissible b >= 2 divides the grid."""
+    thr = 2.0 * iou * size * size / (1.0 + iou)
+    b = 0
+    for cand in (2, 4, 8):
+        if (H % cand or W % cand
+                or (size - (cand - 1)) ** 2 <= thr or cand > size):
+            break
+        b = cand
+    return b
+
+
 @partial(jax.jit, static_argnames=("size", "iou", "k", "max_candidates"))
 def box_nms_extract(prob, size, min_prob, iou=0.1, k=1024,
                     max_candidates=4096):
@@ -255,7 +272,31 @@ def box_nms_extract(prob, size, min_prob, iou=0.1, k=1024,
     keep = _grid_nms_keep(prob[None], (prob > min_prob)[None], size, iou)[0]
     kept = jnp.where(keep, prob, 0.0).reshape(-1)
     kk = min(k, H * W)
-    top_scores, idx = jax.lax.top_k(kept, kk)
+    b = _nms_block_edge(size, iou, H, W)
+    if b and (H // b) * (W // b) >= kk:
+        # survivors are <= 1 per b x b block, so an exact top-k over the
+        # block maxes (16x fewer elements at b=4) recovers the same
+        # keypoint set — top_k sort was ~2 ms/batch on the full 512^2
+        # grid, the dominant post-NMS cost. Positions come from a
+        # vectorized per-block argmax (block-min over an index map masked
+        # to the block max); a (kk, b*b) gather formulation measured
+        # ~1 ms/batch per spectrum — TPU gathers are scalar-bound.
+        km = kept.reshape(H, W)
+        red = lambda a, init, op, win: jax.lax.reduce_window(
+            a, init, op, win, win, "VALID")
+        bmax1 = red(km, jnp.float32(-jnp.inf), jax.lax.max, (1, b))
+        bmax = red(bmax1, jnp.float32(-jnp.inf), jax.lax.max, (b, 1))
+        top_scores, bidx = jax.lax.top_k(bmax.reshape(-1), kk)
+        up = jnp.repeat(jnp.repeat(bmax, b, axis=0), b, axis=1)
+        flat_iota = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+        cand = jnp.where((km == up) & (km > 0.0), flat_iota,
+                         jnp.int32(H * W))
+        c1 = red(cand, jnp.int32(H * W), jax.lax.min, (1, b))
+        cidx = red(c1, jnp.int32(H * W), jax.lax.min, (b, 1))
+        idx = jnp.take(cidx.reshape(-1), bidx, axis=0)
+        idx = jnp.where(idx == H * W, 0, idx)      # empty block (masked)
+    else:
+        top_scores, idx = jax.lax.top_k(kept, kk)
     mask = top_scores > min_prob
     kps = jnp.stack([(idx // W).astype(jnp.int32),
                      (idx % W).astype(jnp.int32)], axis=-1)
