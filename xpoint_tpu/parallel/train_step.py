@@ -61,15 +61,24 @@ def _pair_routing_args(batch):
             None if is_t is None else is_t.reshape(-1))
 
 
-def make_train_step(module, loss_fn, takes_pair=True, donate=True):
+def make_train_step(module, loss_fn, takes_pair=True, donate=True,
+                    batch_fn=None):
     """Build the jitted train step.
 
     Batch layout (takes_pair):
         batch['optical'|'thermal']: image (B,H,W,1), keypoints (B,H,W),
         valid_mask (B,H,W), homography (B,3,3); optional batch['hfour_points'].
+
+    With batch_fn, the raw `batch` argument is first mapped through
+    batch_fn(rng, batch) INSIDE the jit program — the device-resident data
+    path (data/device_dataset.py) uses this to assemble + augment batches
+    on device so the host contributes nothing per step but the dispatch.
     """
 
     def step_fn(state, batch, rng):
+        if batch_fn is not None:
+            rng, rng_batch = jax.random.split(rng)
+            batch = batch_fn(rng_batch, batch)
         rng_model, rng_loss = jax.random.split(rng)
 
         def compute_loss(params):

@@ -149,8 +149,27 @@ class Trainer:
             lr=(self.lr_at_epoch(0) if self.lr_at_epoch else None))
         self.start_epoch = 0
 
+        # device-resident data path: whole corpus in HBM, batch assembly +
+        # homographic augmentation inside the jitted step (the host-worker
+        # pipeline above is the parity path; this is the TPU-first one —
+        # see data/device_dataset.py)
+        self.device_data = bool(tcfg.get('device_data')) and self.takes_pair
+        batch_fn = None
+        if self.device_data:
+            from .data.device_dataset import (load_resident_pair_data,
+                                              make_resident_batch_fn)
+            data, meta = load_resident_pair_data(self.dataset)
+            self.resident_data = replicate(data, self.mesh)
+            hm_check = bool((config['model'].get(
+                'homography_regression_head') or {}).get('check'))
+            batch_fn = make_resident_batch_fn(
+                self.dataset.config, meta, hm_input=hm_check,
+                mesh=(self.mesh if len(self.mesh.devices) > 1 else None))
+            self.data_rng = np.random.default_rng(seed)
+
         self.train_step = make_train_step(self.module, self.loss_fn,
-                                          takes_pair=self.takes_pair)
+                                          takes_pair=self.takes_pair,
+                                          batch_fn=batch_fn)
         from .parallel.train_step import make_eval_step
         self.eval_step = make_eval_step(self.module, self.loss_fn,
                                         takes_pair=self.takes_pair)
@@ -198,6 +217,17 @@ class Trainer:
             self.start_epoch = epoch
         return self.start_epoch
 
+    def _epoch_batches(self):
+        """One epoch of batches: host loader, or device-resident index
+        payloads (same shuffle/drop-last schedule as DataLoader)."""
+        if not self.device_data:
+            yield from self.loader
+            return
+        idx = self.data_rng.permutation(len(self.dataset))
+        for s in range(0, len(idx) - self.batch_size + 1, self.batch_size):
+            yield {'data': self.resident_data,
+                   'idx': jnp.asarray(idx[s:s + self.batch_size])}
+
     def train(self, n_epochs=None, max_steps_per_epoch=None, log_every=10):
         tcfg = self.config.get('training', {})
         n_epochs = n_epochs or int(tcfg.get('n_epochs', 1))
@@ -213,12 +243,16 @@ class Trainer:
                     lr=jnp.asarray(self.lr_at_epoch(epoch), jnp.float32))
             epoch_losses = []
             t_epoch = time.time()
-            for i, batch in enumerate(self.loader):
+            for i, batch in enumerate(self._epoch_batches()):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
                     break
-                dev_batch = (batch_to_device_pair(batch) if self.takes_pair
-                             else batch_to_device_single(batch))
-                dev_batch = shard_batch(dev_batch, self.mesh)
+                if self.device_data:
+                    dev_batch = batch       # {'data', 'idx'}: already on device
+                else:
+                    dev_batch = (batch_to_device_pair(batch)
+                                 if self.takes_pair
+                                 else batch_to_device_single(batch))
+                    dev_batch = shard_batch(dev_batch, self.mesh)
                 self.rng, step_rng = jax.random.split(self.rng)
                 with self.mesh:
                     self.state, comps = self.train_step(self.state, dev_batch,
