@@ -167,8 +167,9 @@ loss:
     lambda: 1.0
 training:
     batchsize: 8
-    learningrate: 1e-4
+    learningrate: {pair_lr}
     n_epochs: {pair_epochs}
+    device_data: {device_data}
     output_directory: {work}/pair-train
     save_every_n_epoch: 0
     use_writer: false
@@ -227,14 +228,26 @@ def sh(cmd, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--work', default='/tmp/cycle')
-    ap.add_argument('--n-train', type=int, default=32)
+    ap.add_argument('--n-train', type=int, default=128)
     ap.add_argument('--n-test', type=int, default=16)
     ap.add_argument('--size', type=int, default=512)
     ap.add_argument('--synth-epochs', type=int, default=60)
     ap.add_argument('--synth-samples', type=int, default=1500)
-    ap.add_argument('--pair-epochs', type=int, default=150)
+    ap.add_argument('--pair-epochs', type=int, default=600)
+    ap.add_argument('--pair-lr', default='3e-4')
     ap.add_argument('--ha-num', type=int, default=50)
+    ap.add_argument('--device-data', action='store_true',
+                    help='pair training with the corpus resident in HBM and '
+                         'augmentation inside the jitted step '
+                         '(data/device_dataset.py) — much faster on this '
+                         'single-host-core container; different random '
+                         'streams than the host path')
     ap.add_argument('--out', default='metrics/mini_corpus_metrics.json')
+    ap.add_argument('--require-sensitive', action='store_true',
+                    help='fail unless h-correctness@3 (MAGSAC, reproj th 2 '
+                         'sweep, evaluation.py:368-393) lands strictly '
+                         'inside (0, 1) — i.e. the committed benchmark can '
+                         'move in BOTH directions on a regression')
     args = ap.parse_args()
     w = args.work
     os.makedirs(w, exist_ok=True)
@@ -281,7 +294,9 @@ def main():
         '-o', f'{w}/labels.hdf5', '-m', f'{w}/synthetic-pretrain'])
     # 4. pair training
     sh([py, 'cli/train.py', '-y',
-        cfg(PAIR_CFG, 'pair.yaml', pair_epochs=args.pair_epochs)])
+        cfg(PAIR_CFG, 'pair.yaml', pair_epochs=args.pair_epochs,
+            pair_lr=args.pair_lr,
+            device_data=str(bool(args.device_data)).lower())])
     # 5. evaluation sweep (reference benchmark.py -e JSON schema)
     sh([py, 'cli/benchmark.py', '-y', cfg(EVAL_CFG, 'eval.yaml'),
         '-m', f'{w}/pair-train', '-e', '-o', f'{w}/outputs'])
@@ -297,6 +312,15 @@ def main():
         res = json.load(f)
     print(json.dumps({k: res[k] for k in list(res)[:12]}, indent=1)[:2000])
     print(f"metrics written to {args.out}", flush=True)
+
+    hc3 = (res.get('homography', {}).get('2', {})
+           .get('h_correctness', {}).get('epsilon_warp_th3'))
+    print(f"h-correctness@3px (MAGSAC, reproj th 2): {hc3}", flush=True)
+    if args.require_sensitive:
+        assert hc3 is not None and 0.0 < hc3 < 1.0, (
+            f"registration benchmark is not sensitive: h-correctness@3 = "
+            f"{hc3} (must be strictly inside (0, 1) so regressions can "
+            f"move it)")
 
 
 if __name__ == '__main__':
