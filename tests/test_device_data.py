@@ -264,6 +264,33 @@ def test_resident_train_step_runs(tmp_path):
     assert not np.allclose(p0, jax.tree.leaves(state.params)[0])
 
 
+def test_resident_batch_fn_hm_input_small_images(tmp_path):
+    """hm_input prep with images smaller than the host default 128^2 patch
+    (image_pair.py:286): the device path clamps the patch to the image
+    instead of failing the dynamic_slice bounds check."""
+    from xpoint_tpu.data.image_pair import ImagePairDataset
+    from xpoint_tpu.data.device_dataset import (load_resident_pair_data,
+                                                make_resident_batch_fn)
+
+    dpath, lpath = _pair_h5_with_labels(tmp_path, n=4, size=96)
+    cfg = {'filename': dpath, 'keypoints_filename': lpath,
+           'height': 64, 'width': 64, 'single_image': False,
+           'augmentation': {'photometric': {'enable': False},
+                            'homographic': {
+                                'enable': True, 'border_reflect': True,
+                                'params': {'patch_ratio': 0.85},
+                                'valid_border_margin': 2,
+                                'mask_border': True}}}
+    ds = ImagePairDataset(cfg)
+    data, meta = load_resident_pair_data(ds)
+    batch_fn = make_resident_batch_fn(ds.config, meta, hm_input=True)
+    out = jax.jit(batch_fn)(jax.random.PRNGKey(0),
+                            {'data': data, 'idx': jnp.asarray([0, 1])})
+    assert out['hm_input'].shape == (2, 64, 64, 2)
+    assert out['hfour_points'].shape == (2, 4, 2)
+    assert np.isfinite(np.asarray(out['hfour_points'])).all()
+
+
 def test_resident_batch_fn_mesh_sharded_matches_unsharded(tmp_path):
     """The mesh-constrained assembly (with_sharding_constraint over the
     batch axis) must be numerically identical to the unsharded path."""

@@ -252,6 +252,11 @@ def make_pair_augment(image_shape, params, border_reflect=True,
     pad_mode = "reflection" if border_reflect else "zeros"
     sampler = partial(sample_homography_device, image_shape=image_shape,
                       **params)
+    # The host default patch is 128^2 (image_pair.py:286) and assumes
+    # >=128^2 crops; for smaller images the host numpy slice would silently
+    # return a short patch, but dynamic_slice needs static in-bounds sizes —
+    # clamp to the image instead.
+    hm_patch = (min(hm_patch[0], Hh), min(hm_patch[1], Ww))
     if hm_top_left is None:
         hm_top_left = (Hh // 2 - hm_patch[0] // 2, Ww // 2 - hm_patch[1] // 2)
 
