@@ -37,8 +37,14 @@ def optical_image(rng, shape=(512, 512)):
     _random.seed(seed)
     np.random.seed(seed)
     img = dp.generate_background(shape)
-    gen = GENERATORS[rng.integers(len(GENERATORS))]
-    gen(img)
+    # 4-7 overlapping primitives per image: real multispectral imagery is
+    # texture-dense everywhere, and MAGSAC registration needs enough
+    # well-spread correct matches per pair — one primitive per 512^2 image
+    # (the round-2 corpus) left pairs with < 10 usable correspondences and
+    # pinned h-correctness at 0 regardless of model quality
+    for _ in range(4 + int(rng.integers(4))):
+        gen = GENERATORS[rng.integers(len(GENERATORS))]
+        gen(img)
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
@@ -53,8 +59,11 @@ def pseudo_thermal(opt, rng):
     t = np.power(opt, g)
     # blur strength: enough to create a real spectral gap without erasing
     # the structures descriptors must anchor to (51x51 at 512^2 left the
-    # pseudo-thermal side featureless and the pair task unlearnable)
-    t = cv2.GaussianBlur(t, (15, 15), 0)
+    # pseudo-thermal side featureless and the pair task unlearnable;
+    # 15x15 capped thermal keypoint LOCALIZATION at ~±3px, which pinned
+    # MAGSAC corner error above the 3px correctness threshold for every
+    # pair — the benchmark could only move one way)
+    t = cv2.GaussianBlur(t, (9, 9), 0)
     t = np.clip(t + rng.normal(0, 0.03, t.shape), 0, 1)
     lo, hi = t.min(), t.max()
     return ((t - lo) / max(hi - lo, 1e-6)).astype(np.float32)
