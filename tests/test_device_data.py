@@ -261,7 +261,28 @@ def test_resident_train_step_runs(tmp_path):
                                     'idx': jnp.asarray([s, (s + 1) % 4])},
                             jax.random.PRNGKey(s))
         assert np.isfinite(float(comps['loss']))
+        assert float(comps['skipped_nonfinite']) == 0.0
     assert not np.allclose(p0, jax.tree.leaves(state.params)[0])
+
+    # GradScaler parity (reference train.py:238-244): a non-finite batch
+    # must be SKIPPED — params, opt state and step counter unchanged — and
+    # flagged, not poison the run
+    bad = dict(data)
+    bad['optical'] = data['optical'].at[0].set(jnp.nan)
+    before = jax.device_get((state.params, state.step))
+    state, comps = step(state, {'data': bad, 'idx': jnp.asarray([0, 1])},
+                        jax.random.PRNGKey(9))
+    assert not np.isfinite(float(comps['loss']))
+    assert float(comps['skipped_nonfinite']) == 1.0
+    after = jax.device_get((state.params, state.step))
+    assert int(after[1]) == int(before[1])
+    for a, b in zip(jax.tree.leaves(before[0]), jax.tree.leaves(after[0])):
+        np.testing.assert_array_equal(a, b)
+
+    # and a clean batch afterwards still trains
+    state, comps = step(state, {'data': data, 'idx': jnp.asarray([2, 3])},
+                        jax.random.PRNGKey(10))
+    assert np.isfinite(float(comps['loss']))
 
 
 def test_resident_batch_fn_hm_input_small_images(tmp_path):

@@ -86,6 +86,34 @@ def test_warp_image_reflection_matches_cv2():
     assert np.abs(ref - ours)[center].max() < 1e-3
 
 
+def test_warp_image_horizon_crossing_stays_finite():
+    """A homography whose horizon line (projective denom = 0) crosses the
+    output canvas must yield finite pixels in every mode. Unsanitized, the
+    inf source coords turn into NaN bilinear weights / NaN reflection wrap
+    and one such augmentation draw poisons a whole training run (observed:
+    cycle-4 device-data run NaN'd at epoch 53)."""
+    rng = np.random.default_rng(6)
+    img = rng.uniform(size=(64, 64, 1)).astype(np.float32)
+    # strong perspective row: denom = 0.03*x - 0.04*y + 1 vanishes along a
+    # line through the canvas interior (e.g. x=0, y=25)
+    H = np.array([[1.0, 0.1, -3.0],
+                  [0.05, 0.9, 2.0],
+                  [0.03, -0.04, 1.0]], np.float64)
+    Hinv = np.linalg.inv(H)
+    ys, xs = np.meshgrid(np.arange(64.0), np.arange(64.0), indexing="ij")
+    denom = Hinv[2, 0] * xs + Hinv[2, 1] * ys + Hinv[2, 2]
+    assert (denom > 0).any() and (denom < 0).any()  # horizon in-canvas
+    for mode in ("bilinear", "nearest"):
+        for pad in ("zeros", "reflection"):
+            out = np.asarray(warp_image(jnp.asarray(img), jnp.asarray(H),
+                                        mode, pad))
+            assert np.isfinite(out).all(), (mode, pad)
+    # the batched/multi paths share _source_coords; cover the valid mask too
+    from xpoint_tpu.geometry.homography import compute_valid_mask_device
+    m = np.asarray(compute_valid_mask_device(jnp.asarray(H[None]), (64, 64)))
+    assert np.isfinite(m).all()
+
+
 def test_warp_points_matches_cv2():
     rng = np.random.default_rng(5)
     kps = rng.uniform(0, 60, size=(30, 2)).astype(np.float64)

@@ -236,6 +236,18 @@ def main():
     ap.add_argument('--pair-epochs', type=int, default=600)
     ap.add_argument('--pair-lr', default='3e-4')
     ap.add_argument('--ha-num', type=int, default=50)
+    ap.add_argument('--reuse-synth', default=None,
+                    help='path to an existing synthetic-pretrain output dir '
+                         '(skips corpus-INDEPENDENT steps 1b/2 — the '
+                         'synthetic-shapes detector never sees the pair '
+                         'corpus, so reuse is sound when iterating on the '
+                         'corpus or pair-training recipe)')
+    ap.add_argument('--reuse-labels', action='store_true',
+                    help='skip corpus generation + HA export when '
+                         '{work}/corpus and {work}/labels.hdf5 already '
+                         'exist — sound when iterating only on the '
+                         'pair-training recipe (the labels depend on the '
+                         'corpus + synth detector, which are unchanged)')
     ap.add_argument('--device-data', action='store_true',
                     help='pair training with the corpus resident in HBM and '
                          'augmentation inside the jitted step '
@@ -263,15 +275,22 @@ def main():
             f.write(body)
         return path
 
+    reuse_labels = (args.reuse_labels
+                    and os.path.isdir(f'{w}/corpus')
+                    and os.path.exists(f'{w}/labels.hdf5'))
     # 1. corpus
-    sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
-        '--n-train', str(args.n_train), '--n-test', str(args.n_test),
-        '--size', str(args.size)])
+    if reuse_labels:
+        print(f"+ reusing corpus + labels in {w}", flush=True)
+    else:
+        sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
+            '--n-train', str(args.n_train), '--n-test', str(args.n_test),
+            '--size', str(args.size)])
+    synth_dir = args.reuse_synth or f'{w}/synthetic-pretrain'
     # 1b. pre-generate the synthetic-shapes set once (on-the-fly generation
     # costs ~100 ms/sample on the host — regenerating every epoch would
     # dominate the whole cycle; cached HDF5 keeps only the cheap
     # photometric augmentation per epoch)
-    if not os.path.exists(f'{w}/synthetic.hdf5'):
+    if not args.reuse_synth and not os.path.exists(f'{w}/synthetic.hdf5'):
         pregen = (
             "import h5py, numpy as np, random;"
             "from xpoint_tpu.data.synthetic_shapes import SyntheticShapes;"
@@ -286,12 +305,16 @@ def main():
             "f.close()" % (f'{w}/synthetic.hdf5', args.synth_samples))
         sh([py, '-c', pregen])
     # 2. synthetic pretrain
-    sh([py, 'cli/train.py', '-y',
-        cfg(SYNTH_CFG, 'synth.yaml', synth_epochs=args.synth_epochs)])
+    if args.reuse_synth:
+        print(f"+ reusing synthetic pretrain from {synth_dir}", flush=True)
+    else:
+        sh([py, 'cli/train.py', '-y',
+            cfg(SYNTH_CFG, 'synth.yaml', synth_epochs=args.synth_epochs)])
     # 3. HA label export
-    sh([py, 'cli/export_keypoints.py', '-y',
-        cfg(EXPORT_CFG, 'export.yaml', ha_num=args.ha_num),
-        '-o', f'{w}/labels.hdf5', '-m', f'{w}/synthetic-pretrain'])
+    if not reuse_labels:
+        sh([py, 'cli/export_keypoints.py', '-y',
+            cfg(EXPORT_CFG, 'export.yaml', ha_num=args.ha_num),
+            '-o', f'{w}/labels.hdf5', '-m', synth_dir])
     # 4. pair training
     sh([py, 'cli/train.py', '-y',
         cfg(PAIR_CFG, 'pair.yaml', pair_epochs=args.pair_epochs,

@@ -19,6 +19,24 @@ import jax
 import jax.numpy as jnp
 
 
+# Projective division produces inf when the homography's horizon line
+# (denom = 0) crosses the output canvas — any strong-perspective draw with
+# allow_artifacts can do this, no singular H needed — and nan (0/0) at the
+# projected principal point. Unguarded, inf poisons the bilinear weights
+# (inf - floor(inf) = nan) and reflection wrap (mod(inf, p) = nan), and one
+# nan pixel NaNs a whole train step (and, with it, the params forever).
+# cv2.warpPerspective saturates these coords to finite values when building
+# its fixed-point remap tables; mirror that with a finite out-of-image
+# magnitude (exactly representable in fp32, so floor/frac stay exact).
+_COORD_MAX = 1e7
+
+
+def _finite_coords(c):
+    c = jnp.nan_to_num(c, nan=-_COORD_MAX, posinf=_COORD_MAX,
+                       neginf=-_COORD_MAX)
+    return jnp.clip(c, -_COORD_MAX, _COORD_MAX)
+
+
 def _reflect_101(coord, size):
     """Reflect coordinate into [0, size-1] without repeating the edge."""
     period = 2.0 * (size - 1.0)
@@ -93,8 +111,10 @@ def warp_image(image, homography, mode="bilinear", padding_mode="zeros", dsize=N
     ys_d, xs_d = jnp.meshgrid(jnp.arange(H_out, dtype=jnp.float32),
                               jnp.arange(W_out, dtype=jnp.float32), indexing="ij")
     denom = Hinv[2, 0] * xs_d + Hinv[2, 1] * ys_d + Hinv[2, 2]
-    xs_s = (Hinv[0, 0] * xs_d + Hinv[0, 1] * ys_d + Hinv[0, 2]) / denom
-    ys_s = (Hinv[1, 0] * xs_d + Hinv[1, 1] * ys_d + Hinv[1, 2]) / denom
+    xs_s = _finite_coords((Hinv[0, 0] * xs_d + Hinv[0, 1] * ys_d
+                           + Hinv[0, 2]) / denom)
+    ys_s = _finite_coords((Hinv[1, 0] * xs_d + Hinv[1, 1] * ys_d
+                           + Hinv[1, 2]) / denom)
     if mode == "bilinear":
         return _sample_bilinear(image, ys_s, xs_s, padding_mode)
     elif mode == "nearest":
@@ -120,10 +140,12 @@ def _source_coords(homographies, H_out, W_out):
     ys_d = ys_d.reshape(-1)
     denom = (Hinv[:, 2, 0, None] * xs_d + Hinv[:, 2, 1, None] * ys_d
              + Hinv[:, 2, 2, None])
-    xs_s = (Hinv[:, 0, 0, None] * xs_d + Hinv[:, 0, 1, None] * ys_d
-            + Hinv[:, 0, 2, None]) / denom
-    ys_s = (Hinv[:, 1, 0, None] * xs_d + Hinv[:, 1, 1, None] * ys_d
-            + Hinv[:, 1, 2, None]) / denom
+    xs_s = _finite_coords((Hinv[:, 0, 0, None] * xs_d
+                           + Hinv[:, 0, 1, None] * ys_d
+                           + Hinv[:, 0, 2, None]) / denom)
+    ys_s = _finite_coords((Hinv[:, 1, 0, None] * xs_d
+                           + Hinv[:, 1, 1, None] * ys_d
+                           + Hinv[:, 1, 2, None]) / denom)
     return ys_s, xs_s
 
 

@@ -106,10 +106,21 @@ def make_train_step(module, loss_fn, takes_pair=True, donate=True,
 
         (loss, (comps, new_stats)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
-        state = state.apply_gradients(grads)
+        # torch.cuda.amp.GradScaler skips optimizer.step() when the grads
+        # contain inf/nan (reference train.py:238-244 scaler.step/update);
+        # mirror that so one bad batch (a loss spike, a degenerate
+        # augmentation draw) costs one step instead of poisoning the params
+        # for the rest of the run. jnp.where keeps the step fully jittable.
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
+        new_state = state.apply_gradients(grads)
         if new_stats is not None:
-            state = state.replace(batch_stats=new_stats)
+            new_state = new_state.replace(batch_stats=new_stats)
+        state = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_state, state)
         comps["loss"] = loss
+        comps["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
         return state, comps
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

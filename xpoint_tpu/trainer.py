@@ -273,7 +273,17 @@ class Trainer:
                 step += 1
 
             if epoch_losses:
-                mean_loss = float(np.mean(jax.device_get(epoch_losses)))
+                host_losses = np.asarray(jax.device_get(epoch_losses))
+                # non-finite batches are SKIPPED by the train step
+                # (GradScaler parity, parallel/train_step.py) — exclude
+                # them from the epoch mean and surface the count instead
+                n_skipped = int(np.sum(~np.isfinite(host_losses)))
+                mean_loss = (float(np.nanmean(
+                    np.where(np.isfinite(host_losses), host_losses, np.nan)))
+                    if n_skipped < len(host_losses) else float('nan'))
+                if n_skipped:
+                    print(f"epoch {epoch}: skipped {n_skipped} non-finite "
+                          f"batch(es)", flush=True)
             else:
                 mean_loss = float('nan')
             if self.writer:
