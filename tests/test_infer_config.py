@@ -139,3 +139,64 @@ def test_disable_hmhead_model_override(tmp_path):
     # forward works even though the checkpoint contains hm params
     out = m2.apply(v2, jnp.zeros((1, 32, 32, 1)), "optical")
     assert out['logits'].shape == (1, 4, 4, 65)
+
+
+def test_subpixel_refinement_op():
+    """Quadratic-peak refinement recovers a synthetic gaussian's subpixel
+    center to ~0.05 px; padding rows pass through; flat regions refine to
+    offset 0; border keypoints stay finite and within +-0.5."""
+    from xpoint_tpu.ops.detector import refine_keypoints_subpixel
+
+    H = W = 33
+    cy, cx = 16.3, 15.6          # true subpixel peak
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing='ij')
+    prob = np.exp(-((ys - cy) ** 2 + (xs - cx) ** 2) / (2 * 1.5 ** 2))
+
+    kps = np.zeros((4, 2), np.int32)
+    kps[0] = np.unravel_index(np.argmax(prob), prob.shape)   # int peak
+    kps[1] = (0, 0)                                          # border
+    kps[2] = (30, 3)                                         # flat-ish tail
+    valid = np.array([True, True, True, False])
+    out = np.asarray(refine_keypoints_subpixel(
+        jnp.asarray(prob, jnp.float32), jnp.asarray(kps), jnp.asarray(valid)))
+
+    # gaussian peak: refined lands much closer than the integer grid
+    err_int = np.linalg.norm(kps[0] - np.array([cy, cx]))
+    err_ref = np.linalg.norm(out[0] - np.array([cy, cx]))
+    assert err_ref < 0.08 and err_ref < err_int / 4
+    # offsets bounded by half a pixel everywhere
+    assert np.all(np.abs(out[:3] - kps[:3]) <= 0.5 + 1e-6)
+    # padding row untouched
+    np.testing.assert_array_equal(out[3], kps[3].astype(np.float32))
+
+
+def test_keypoints_from_prob_subpixel_path():
+    """Config-gated: default returns integer argwhere rows (reference
+    parity); subpixel:true + prob_raw returns refined float coords with
+    the SAME count and ordering."""
+    module, _ = build_xpoint({
+        'multispectral': False, 'takes_pair': True, 'channel_version': 2,
+        'descriptor_size': 16,
+        'homography_regression_head': {'check': False}})
+    img = jnp.zeros((1, 32, 32, 1))
+    variables = module.init(jax.random.PRNGKey(0), img,
+                            method=module.init_all)
+    rng = np.random.default_rng(7)
+    raw = rng.uniform(size=(32, 32)).astype(np.float32)
+    nms = np.where(raw > 0.97, raw, 0.0)      # sparse "post-NMS" map
+
+    base = XPointInference(module, variables,
+                           {'detection_threshold': 0.5}, max_kp=64)
+    kp_int = base.keypoints_from_prob(nms)
+    assert kp_int.dtype.kind == 'i'
+
+    sub = XPointInference(module, variables,
+                          {'detection_threshold': 0.5, 'subpixel': True},
+                          max_kp=64)
+    kp_sub = sub.keypoints_from_prob(nms, prob_raw=raw)
+    assert kp_sub.dtype == np.float32
+    assert kp_sub.shape == kp_int.shape
+    assert np.all(np.abs(kp_sub - kp_int) <= 0.5 + 1e-6)
+    # without prob_raw the subpixel config degrades to reference semantics
+    np.testing.assert_array_equal(sub.keypoints_from_prob(nms), kp_int)

@@ -125,8 +125,10 @@ def compute_metrics(infer, dataloader, config,
         image_shape = prob_o.shape[1:3]
 
         for i in range(B):
-            kp_o = infer.keypoints_from_prob(prob_o[i])
-            kp_t = infer.keypoints_from_prob(prob_t[i])
+            kp_o = infer.keypoints_from_prob(
+                prob_o[i], prob_raw=prob_o_raw[i] * mask_o[i])
+            kp_t = infer.keypoints_from_prob(
+                prob_t[i], prob_raw=prob_t_raw[i] * mask_t[i])
             n_kp_optical.append(len(kp_o))
             n_kp_thermal.append(len(kp_t))
 

@@ -47,16 +47,17 @@ def compute_repeatability_multispectral(infer, dataloader, config,
         H_t = _homographies(batch['thermal'], B)
         prob_o, prob_t, _, _, _ = infer.forward_pair(
             batch['optical']['image'], batch['thermal']['image'])
+        prob_o_raw, prob_t_raw = prob_o, prob_t
         if pred_cfg['nms'] > 0:
             prob_o = infer.nms(prob_o)
             prob_t = infer.nms(prob_t)
         for i in range(B):
-            kp_o = infer.keypoints_from_prob(
-                prob_o[i], np.asarray(batch['optical']['valid_mask'][i],
-                                      np.float32))
-            kp_t = infer.keypoints_from_prob(
-                prob_t[i], np.asarray(batch['thermal']['valid_mask'][i],
-                                      np.float32))
+            m_o = np.asarray(batch['optical']['valid_mask'][i], np.float32)
+            m_t = np.asarray(batch['thermal']['valid_mask'][i], np.float32)
+            kp_o = infer.keypoints_from_prob(prob_o[i], m_o,
+                                             prob_raw=prob_o_raw[i] * m_o)
+            kp_t = infer.keypoints_from_prob(prob_t[i], m_t,
+                                             prob_raw=prob_t_raw[i] * m_t)
             n_kp_optical.append(len(kp_o))
             n_kp_thermal.append(len(kp_t))
             r = repeatability_sample(kp_o, kp_t, H_o[i], H_t[i],
@@ -80,14 +81,17 @@ def compute_descriptor_metrics(infer, dataloader, config,
             batch['optical']['image'], batch['thermal']['image'])
         prob_o = prob_o * np.asarray(batch['optical']['valid_mask'], np.float32)
         prob_t = prob_t * np.asarray(batch['thermal']['valid_mask'], np.float32)
+        prob_o_raw, prob_t_raw = prob_o, prob_t
         if config.get('nms', 0) > 0:
             prob_o = infer.nms(prob_o)
             prob_t = infer.nms(prob_t)
 
         image_shape = prob_o.shape[1:3]
         for i in range(B):
-            kp_o = infer.keypoints_from_prob(prob_o[i])
-            kp_t = infer.keypoints_from_prob(prob_t[i])
+            kp_o = infer.keypoints_from_prob(prob_o[i],
+                                             prob_raw=prob_o_raw[i])
+            kp_t = infer.keypoints_from_prob(prob_t[i],
+                                             prob_raw=prob_t_raw[i])
             d_o = infer.descriptors_at(kp_o, desc_o[i], image_shape)
             d_t = infer.descriptors_at(kp_t, desc_t[i], image_shape)
             matches_optical = infer.match_crosscheck(d_o, d_t)

@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.detector import prob_from_logits
+from ..ops.detector import prob_from_logits, refine_keypoints_subpixel
 from ..ops.nms import box_nms
 from ..ops.descriptor import interpolate_descriptors
 from ..ops.matching import (mnn_match, knn2_match, threshold_match,
@@ -24,7 +24,12 @@ class XPointInference:
         self.module = module
         self.variables = variables
         self.cfg = dict({'nms': 8, 'detection_threshold': 0.015, 'topk': 0,
-                         'cpu_nms': False}, **(prediction_config or {}))
+                         'cpu_nms': False, 'subpixel': False},
+                        **(prediction_config or {}))
+        # XPoint-TPU extension (reference keypoints are integer argwhere
+        # rows): quadratic-peak subpixel refinement on the raw heatmap
+        self.subpixel = bool(self.cfg.get('subpixel', False))
+        self._refine = jax.jit(refine_keypoints_subpixel)
         self.max_kp = max_kp
         self.ratio = module.encoder_downsample_ratio
 
@@ -128,13 +133,29 @@ class XPointInference:
         return np.asarray(self._nms(jnp.asarray(prob)))
 
     # ---- dynamic-count helpers (host <-> padded device) ----
-    def keypoints_from_prob(self, prob_nms, valid_mask=None):
+    def keypoints_from_prob(self, prob_nms, valid_mask=None, prob_raw=None):
         """Host threshold + nonzero, exact reference semantics
-        (evaluation.py:160-161, 281-282)."""
+        (evaluation.py:160-161, 281-282).
+
+        With `subpixel: true` in the prediction config AND the pre-NMS
+        heatmap passed as prob_raw, the integer keypoints are refined by
+        quadratic peak interpolation (ops/detector.py) and returned as
+        float32 — every downstream consumer (warps, descriptor sampling,
+        MAGSAC) already takes float coords."""
         p = prob_nms
         if valid_mask is not None:
             p = p * valid_mask
-        return np.argwhere(p > float(self.cfg['detection_threshold']))
+        kps = np.argwhere(p > float(self.cfg['detection_threshold']))
+        if not self.subpixel or prob_raw is None or len(kps) == 0:
+            return kps
+        k = self._capacity(len(kps))
+        padded = np.zeros((k, 2), np.int32)
+        padded[:len(kps)] = kps
+        mask = np.zeros((k,), bool)
+        mask[:len(kps)] = True
+        refined = self._refine(jnp.asarray(prob_raw, jnp.float32),
+                               jnp.asarray(padded), jnp.asarray(mask))
+        return np.asarray(refined)[:len(kps)]
 
     def _capacity(self, n):
         """Static pad size for n dynamic keypoints: grows max_kp by powers
