@@ -286,7 +286,11 @@ def main():
                     and os.path.exists(f'{w}/labels.hdf5'))
     # 1. corpus
     if reuse_labels:
-        print(f"+ reusing corpus + labels in {w}", flush=True)
+        print(f"+ reusing corpus + labels in {w} "
+              f"(regenerating test split at n={args.n_test})", flush=True)
+        sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
+            '--n-test', str(args.n_test), '--size', str(args.size),
+            '--splits', 'test'])
     else:
         sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
             '--n-train', str(args.n_train), '--n-test', str(args.n_test),

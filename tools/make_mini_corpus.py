@@ -85,15 +85,24 @@ def main():
     ap.add_argument('--n-train', type=int, default=64)
     ap.add_argument('--n-test', type=int, default=16)
     ap.add_argument('--size', type=int, default=512)
+    ap.add_argument('--splits', choices=('both', 'train', 'test'),
+                    default='both',
+                    help='which split(s) to (re)write; the splits use '
+                         'independent rng seeds (train 0, test 1), so the '
+                         'test set can be regenerated or enlarged without '
+                         'invalidating training.hdf5 or its HA labels')
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     shape = (args.size, args.size)
-    write_split(os.path.join(args.out, 'training.hdf5'), args.n_train,
-                np.random.default_rng(0), shape)
-    write_split(os.path.join(args.out, 'test.hdf5'), args.n_test,
-                np.random.default_rng(1), shape)
+    if args.splits in ('both', 'train'):
+        write_split(os.path.join(args.out, 'training.hdf5'), args.n_train,
+                    np.random.default_rng(0), shape)
+    if args.splits in ('both', 'test'):
+        write_split(os.path.join(args.out, 'test.hdf5'), args.n_test,
+                    np.random.default_rng(1), shape)
     print(f"mini corpus written to {args.out} "
-          f"({args.n_train} train / {args.n_test} test pairs @{args.size})")
+          f"({args.n_train} train / {args.n_test} test pairs @{args.size}, "
+          f"splits={args.splits})")
 
 
 if __name__ == '__main__':
