@@ -212,9 +212,10 @@ def main():
     time_dict['forward_pass'] = time.time() - t0
 
     t0 = time.time()
+    prob_o_raw, prob_t_raw = prob_o, prob_t
     prob_o, prob_t = infer.nms(prob_o), infer.nms(prob_t)
-    kp_o = infer.keypoints_from_prob(prob_o[0])
-    kp_t = infer.keypoints_from_prob(prob_t[0])
+    kp_o = infer.keypoints_from_prob(prob_o[0], prob_raw=prob_o_raw[0])
+    kp_t = infer.keypoints_from_prob(prob_t[0], prob_raw=prob_t_raw[0])
     time_dict['keypoint_detection'] = time.time() - t0
 
     t0 = time.time()

@@ -66,10 +66,11 @@ def main():
     t2 = time.time()
     print(f"forward: {t2 - t1:.3f} s ({1.0 / (t2 - t1):.2f} Hz)")
 
+    prob_o_raw, prob_t_raw = prob_o, prob_t
     prob_o = infer.nms(prob_o)
     prob_t = infer.nms(prob_t)
-    kp_o = infer.keypoints_from_prob(prob_o[0])
-    kp_t = infer.keypoints_from_prob(prob_t[0])
+    kp_o = infer.keypoints_from_prob(prob_o[0], prob_raw=prob_o_raw[0])
+    kp_t = infer.keypoints_from_prob(prob_t[0], prob_raw=prob_t_raw[0])
     d_o = infer.descriptors_at(kp_o, desc_o[0], prob_o.shape[1:3])
     d_t = infer.descriptors_at(kp_t, desc_t[0], prob_t.shape[1:3])
     matches = infer.match(d_o, d_t)

@@ -52,14 +52,17 @@ def main():
     img_o = np.asarray(sample['optical']['image'])[None]
     img_t = np.asarray(sample['thermal']['image'])[None]
     prob_o, prob_t, _, _, _ = infer.forward_pair(img_o, img_t)
+    prob_o_raw, prob_t_raw = prob_o, prob_t
     prob_o = infer.nms(prob_o)
     prob_t = infer.nms(prob_t)
     mask_o = np.asarray(sample['optical']['valid_mask'], np.float32) \
         if args.mask else None
     mask_t = np.asarray(sample['thermal']['valid_mask'], np.float32) \
         if args.mask else None
-    kp_o = infer.keypoints_from_prob(prob_o[0], mask_o)
-    kp_t = infer.keypoints_from_prob(prob_t[0], mask_t)
+    kp_o = infer.keypoints_from_prob(prob_o[0], mask_o,
+                                     prob_raw=prob_o_raw[0])
+    kp_t = infer.keypoints_from_prob(prob_t[0], mask_t,
+                                     prob_raw=prob_t_raw[0])
     print(f"sample {args.index}: {len(kp_o)} optical / {len(kp_t)} thermal "
           f"keypoints")
 
