@@ -235,7 +235,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--work', default='/tmp/cycle')
     ap.add_argument('--n-train', type=int, default=128)
-    ap.add_argument('--n-test', type=int, default=16)
+    ap.add_argument('--n-test', type=int, default=64)
     ap.add_argument('--size', type=int, default=512)
     ap.add_argument('--synth-epochs', type=int, default=60)
     ap.add_argument('--synth-samples', type=int, default=1500)

@@ -7,7 +7,8 @@ h-correctness) are reported on this checked-in-reproducible corpus: 64
 synthetic 512x512 optical/pseudo-thermal pairs with a non-trivial
 photometric gap (nonlinear intensity remap + IR blur + speckle, mirroring
 the reference SyntheticShapes IR processing, synthetic_dataset.py) plus
-16 held-out test pairs. Regenerate with:
+64 held-out test pairs (test count sets h-correctness granularity — each
+pair is 1/64 of the sweep). Regenerate with:
 
     python tools/make_mini_corpus.py [--out data/mini_corpus]
 
@@ -83,7 +84,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--out', default='data/mini_corpus')
     ap.add_argument('--n-train', type=int, default=64)
-    ap.add_argument('--n-test', type=int, default=16)
+    ap.add_argument('--n-test', type=int, default=64)
     ap.add_argument('--size', type=int, default=512)
     ap.add_argument('--splits', choices=('both', 'train', 'test'),
                     default='both',
