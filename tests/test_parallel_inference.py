@@ -1,0 +1,55 @@
+"""Mesh-sharded inference parity: the data-parallel serving pipeline
+(eval/pipeline.py::make_sharded_pair_pipeline) must reproduce the
+single-device fused pipeline per sample — the TPU-native analog of the
+reference's DataParallel scatter/gather being output-equivalent to a
+single-GPU forward (export_keypoints.py:151-154)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from xpoint_tpu.models import build_xpoint
+from xpoint_tpu.eval import make_pair_pipeline, make_sharded_pair_pipeline
+from xpoint_tpu.parallel import make_mesh
+
+
+def _tiny_model():
+    module, _ = build_xpoint({
+        'multispectral': False, 'takes_pair': True, 'channel_version': 2,
+        'descriptor_size': 32,
+        'homography_regression_head': {'check': False}})
+    img = jnp.zeros((1, 64, 64, 1))
+    variables = module.init(jax.random.PRNGKey(0), img,
+                            method=module.init_all)
+    return module, variables
+
+
+def test_sharded_pipeline_matches_single_device():
+    module, variables = _tiny_model()
+    mesh = make_mesh(8)
+    kw = dict(k=64, nms_size=4, detection_threshold=1e-4)
+    single = make_pair_pipeline(module, (64, 64), **kw)
+    sharded = make_sharded_pair_pipeline(module, (64, 64), mesh, **kw)
+
+    rng = np.random.default_rng(3)
+    img_o = rng.uniform(size=(8, 64, 64, 1)).astype(np.float32)
+    img_t = rng.uniform(size=(8, 64, 64, 1)).astype(np.float32)
+
+    ref = single(variables, jnp.asarray(img_o), jnp.asarray(img_t))
+    out = sharded(variables, img_o, img_t)
+
+    # outputs stay batch-sharded over the mesh until fetched
+    shard_axes = out["prob_optical"].sharding.spec
+    assert shard_axes[0] == "data", shard_axes
+
+    # integer/bool outputs must agree exactly; float maps to fp tolerance
+    # (GSPMD picks different fusions than the single program)
+    for key in ("keypoints_optical", "keypoints_thermal",
+                "mask_optical", "mask_thermal", "match_idx", "matched"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(ref[key]), err_msg=key)
+    for key in ("prob_optical", "prob_thermal", "desc_optical",
+                "desc_thermal", "match_dist"):
+        np.testing.assert_allclose(np.asarray(out[key]),
+                                   np.asarray(ref[key]),
+                                   atol=1e-5, rtol=1e-5, err_msg=key)

@@ -1,3 +1,3 @@
-from .pipeline import make_pair_pipeline
+from .pipeline import make_pair_pipeline, make_sharded_pair_pipeline
 
-__all__ = ["make_pair_pipeline"]
+__all__ = ["make_pair_pipeline", "make_sharded_pair_pipeline"]
