@@ -53,3 +53,35 @@ def test_sharded_pipeline_matches_single_device():
         np.testing.assert_allclose(np.asarray(out[key]),
                                    np.asarray(ref[key]),
                                    atol=1e-5, rtol=1e-5, err_msg=key)
+
+
+def test_sharded_pipeline_with_ransac():
+    """The on-device registration tail (batched DLT+RANSAC) shards with
+    the rest of the program. An identity pair (thermal == optical) makes
+    every MNN match an exact correspondence, so any 4-point hypothesis
+    fits H ~= I: the estimate is insensitive to which hypothesis wins and
+    the sharded program must agree with the single-device one. (Random
+    unrelated images would tie RANSAC scores on garbage matches and let
+    compilation-dependent fp noise flip the argmax.)"""
+    module, variables = _tiny_model()
+    mesh = make_mesh(8)
+    kw = dict(k=64, nms_size=4, detection_threshold=1e-4,
+              estimate_homography=True, ransac_iters=32)
+    single = make_pair_pipeline(module, (64, 64), **kw)
+    sharded = make_sharded_pair_pipeline(module, (64, 64), mesh, **kw)
+
+    rng = np.random.default_rng(7)
+    img_o = rng.uniform(size=(8, 64, 64, 1)).astype(np.float32)
+    key = jax.random.PRNGKey(11)
+
+    ref = single(variables, jnp.asarray(img_o), jnp.asarray(img_o), key)
+    out = sharded(variables, img_o, img_o, key)
+
+    assert out["H_est"].shape == (8, 3, 3)
+    np.testing.assert_array_equal(np.asarray(out["ransac_n_inliers"]),
+                                  np.asarray(ref["ransac_n_inliers"]))
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), (8, 3, 3))
+    np.testing.assert_allclose(np.asarray(ref["H_est"]), eye, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["H_est"]),
+                               np.asarray(ref["H_est"]),
+                               atol=1e-4, rtol=1e-3)
