@@ -98,6 +98,48 @@ def test_dataloader_collate_and_prefetch(tmp_path):
     assert batches[0]['keypoints'].shape == (3, 64, 64)
 
 
+class _IndexDataset:
+    """Deterministic pure-function dataset: sample == its index."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if i == -1:
+            raise ValueError("boom")
+        return {'x': np.full((2,), i, np.int64)}
+
+
+def test_dataloader_worker_pool_order_matches_serial():
+    """Multi-worker prefetch hands out batches in the same deterministic
+    order as the serial path (ordered reassembly, reference train.py:54-55
+    num_worker semantics)."""
+    ds = _IndexDataset(23)
+    serial = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                             prefetch=0))
+    pooled = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                             prefetch=2, workers=4))
+    assert len(pooled) == len(serial) == 5
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a['x'], b['x'])
+
+
+def test_dataloader_worker_pool_propagates_errors():
+    class _Bad(_IndexDataset):
+        def __getitem__(self, i):
+            if i >= 12:
+                raise ValueError("boom")
+            return super().__getitem__(i)
+
+    loader = DataLoader(_Bad(16), batch_size=4, shuffle=False,
+                        prefetch=2, workers=3)
+    with pytest.raises(ValueError, match="boom"):
+        list(loader)
+
+
 @pytest.mark.slow
 def test_training_loss_decreases_on_synthetic(tmp_path):
     """Train the CNN XPoint a few steps on SyntheticShapes single-image mode

@@ -1,19 +1,22 @@
-"""Minimal data loader: shuffling, numpy batch collation, and background
-thread prefetch so host-side cv2 augmentation overlaps TPU compute.
+"""Minimal data loader: shuffling, numpy batch collation, and a background
+worker pool so host-side cv2 augmentation overlaps TPU compute.
 
-Replaces torch DataLoader worker processes (reference train.py:54-55). The
-container has a single CPU core, so one prefetch thread (which releases the
-GIL inside cv2/h5py/numpy) is the right amount of host parallelism.
+Replaces torch DataLoader worker processes (reference train.py:54-55,
+``num_worker``). Threads instead of processes: the per-sample work
+(cv2 warps, h5py reads, numpy) releases the GIL, so a thread pool
+parallelizes it without pickling batches across a process boundary.
 
-SCALABILITY NOTE: on a real multi-core host feeding 8 chips, full-scale
-MULTIPOINT training (36 GB HDF5 + cv2 warps per sample) will be bound by
-this single prefetch thread. The fix when that day comes is a worker POOL
-(multiprocessing or N threads — cv2/h5py release the GIL) filling the same
-queue; the consumer contract below does not change. Sized-for-this-container
-is deliberate, not a design limit.
+On THIS container (single CPU core) ``workers=1`` is the right setting and
+the default; on a real multi-core host feeding 8 chips, full-scale
+MULTIPOINT training (36 GB HDF5 + cv2 warps per sample) should raise it —
+the trainer wires the reference's ``training: num_worker`` key through.
+Batches are handed out in deterministic order regardless of worker count
+(ordered reassembly); NOTE that with ``workers > 1`` datasets drawing from
+a shared RNG interleave their draws nondeterministically across threads —
+the same caveat as the reference's multi-worker DataLoader.
 """
-import queue
-import threading
+import collections
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -34,12 +37,13 @@ def collate(samples):
 
 class DataLoader:
     def __init__(self, dataset, batch_size=1, shuffle=False, seed=0,
-                 drop_last=True, prefetch=2):
+                 drop_last=True, prefetch=2, workers=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.workers = max(1, int(workers))
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -54,6 +58,9 @@ class DataLoader:
             self.rng.shuffle(idx)
         return idx
 
+    def _build(self, batch_idx):
+        return collate([self.dataset[int(i)] for i in batch_idx])
+
     def __iter__(self):
         idx = self._indices()
         batches = [idx[i:i + self.batch_size]
@@ -63,33 +70,30 @@ class DataLoader:
 
         if self.prefetch <= 0:
             for b in batches:
-                yield collate([self.dataset[int(i)] for i in b])
+                yield self._build(b)
             return
 
-        q = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-        error = []
-
-        def worker():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        break
-                    q.put(collate([self.dataset[int(i)] for i in b]))
-            except BaseException as e:          # propagate to the consumer
-                error.append(e)
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        # worker pool with ordered reassembly: up to `ahead` batches in
+        # flight, yielded strictly in submission order. workers=1 keeps
+        # the single-prefetch-thread behavior this container needs.
+        ahead = max(self.prefetch, self.workers)
+        it = iter(batches)
+        pending = collections.deque()
+        ex = ThreadPoolExecutor(max_workers=self.workers,
+                                thread_name_prefix="xpoint-loader")
         try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    if error:
-                        raise error[0]
+            for _ in range(ahead):
+                b = next(it, None)
+                if b is None:
                     break
+                pending.append(ex.submit(self._build, b))
+            while pending:
+                batch = pending.popleft().result()
+                b = next(it, None)
+                if b is not None:
+                    pending.append(ex.submit(self._build, b))
                 yield batch
         finally:
-            stop.set()
+            for f in pending:
+                f.cancel()
+            ex.shutdown(wait=True, cancel_futures=True)

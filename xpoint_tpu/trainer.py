@@ -105,8 +105,11 @@ class Trainer:
         self.dataset = get_dataset(config['dataset'])
         tcfg = config.get('training', {})
         self.batch_size = int(tcfg.get('batchsize', 1))
+        # reference train.py:54-55 threads `training: num_worker` into its
+        # DataLoader; same key here (thread pool, data/loader.py)
+        workers = int(tcfg.get('num_worker', 1) or 1)
         self.loader = DataLoader(self.dataset, self.batch_size, shuffle=True,
-                                 seed=seed)
+                                 seed=seed, workers=workers)
         self.takes_pair = self.dataset.returns_pair()
 
         # validation set (reference train.py:57-62): same dataset type with
@@ -122,7 +125,8 @@ class Trainer:
                 val_ds_cfg['keypoints_filename'] = vcfg['keypoints']
             val_dataset = get_dataset(val_ds_cfg)
             self.val_loader = DataLoader(val_dataset, self.batch_size,
-                                         shuffle=False, seed=seed)
+                                         shuffle=False, seed=seed,
+                                         workers=workers)
 
         self.module, self.model_cfg = build_xpoint(config['model'])
 
