@@ -86,3 +86,36 @@ def test_ransac_agrees_with_cv2_magsac():
     err_ours = corner_error(np.asarray(out["H"]), H_true)
     err_cv = corner_error(H_cv, H_true)
     assert err_ours < max(2.0 * err_cv, 2.0), (err_ours, err_cv)
+
+
+def test_estimate_homography_device_wrapper():
+    """Host-facing wrapper: pads to a static bucket, returns cv2-shaped
+    (H, inlier-mask) and recovers H on noisy correspondences."""
+    from xpoint_tpu.geometry.ransac import estimate_homography_device
+
+    rng = np.random.default_rng(4)
+    pts1, pts2, H_true = make_correspondences(rng, n_in=90, n_out=30)
+    H, inl = estimate_homography_device(pts1, pts2,
+                                        reprojection_threshold=3.0,
+                                        n_iters=512)
+    assert H is not None and H.shape == (3, 3) and H.dtype == np.float64
+    assert inl.shape == (len(pts1), 1) and inl.dtype == np.uint8
+    assert corner_error(H, H_true) < 2.0
+    assert 70 <= int(inl.sum()) <= 100
+    # under-determined inputs -> (None, None), like the cv2 path
+    assert estimate_homography_device(pts1[:3], pts2[:3]) == (None, None)
+
+
+def test_estimate_homography_method_dispatch():
+    """eval/metrics.estimate_homography(method='device') routes to the
+    on-device estimator and agrees with the cv2 MAGSAC default."""
+    from xpoint_tpu.eval.metrics import estimate_homography
+
+    rng = np.random.default_rng(5)
+    pts1, pts2, H_true = make_correspondences(rng, n_in=100, n_out=40)
+    H_cv, _ = estimate_homography(pts1, pts2, reprojection_threshold=3)
+    H_dev, _ = estimate_homography(pts1, pts2, reprojection_threshold=3,
+                                   method='device')
+    err_cv = corner_error(H_cv, H_true)
+    err_dev = corner_error(H_dev, H_true)
+    assert err_dev < max(2.0 * err_cv, 2.0), (err_dev, err_cv)

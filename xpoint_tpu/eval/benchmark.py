@@ -99,6 +99,9 @@ def compute_metrics(infer, dataloader, config,
     """
     pred_cfg = config['prediction']
     det_th = float(pred_cfg['detection_threshold'])
+    # 'magsac' (cv2 host-side, reference parity) or 'device' (batched
+    # on-device DLT+RANSAC, geometry/ransac.py)
+    h_estimator = pred_cfg.get('h_estimator', 'magsac')
 
     rep_acc = {th: [] for th in threshold_repeatability}
     n_kp_optical, n_kp_thermal = [], []
@@ -196,7 +199,8 @@ def compute_metrics(infer, dataloader, config,
             pts_o = np.float32([kp_o[q][::-1] for q, t, d in matches_ransac])
             pts_t = np.float32([kp_t[t][::-1] for q, t, d in matches_ransac])
             for th in threshold_ransac:
-                H_est, _ = estimate_homography(pts_o, pts_t, th)
+                H_est, _ = estimate_homography(pts_o, pts_t, th,
+                                               method=h_estimator)
                 pts_dist_acc[th].append(
                     homography_corner_error(H_est, gt_H, image_shape))
 

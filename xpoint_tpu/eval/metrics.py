@@ -98,9 +98,20 @@ def repeatability_sample(kp_optical, kp_thermal, h_optical, h_thermal,
     return None
 
 
-def estimate_homography(optical_pts, thermal_pts, reprojection_threshold=3):
-    """MAGSAC homography from matched (x, y) point arrays
-    (evaluation.py:364-380). Returns None when under-determined."""
+def estimate_homography(optical_pts, thermal_pts, reprojection_threshold=3,
+                        method='magsac'):
+    """Homography from matched (x, y) point arrays (evaluation.py:364-380).
+    Returns None when under-determined.
+
+    method: 'magsac' = cv2 USAC_MAGSAC host-side (reference parity,
+    default); 'device' = the batched on-device DLT+RANSAC
+    (geometry/ransac.py) — the production path, selectable in the
+    benchmark CLI via `prediction: h_estimator: device`."""
+    if method == 'device':
+        from ..geometry.ransac import estimate_homography_device
+        return estimate_homography_device(
+            optical_pts, thermal_pts,
+            reprojection_threshold=reprojection_threshold)
     optical_pts = np.float32(optical_pts).reshape(-1, 1, 2)
     thermal_pts = np.float32(thermal_pts).reshape(-1, 1, 2)
     if optical_pts.shape[0] < 4 or thermal_pts.shape[0] < 4:

@@ -119,3 +119,41 @@ def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
             "score": jnp.where(mask & (err < threshold),
                                1.0 - (err / threshold) ** 2, 0.0).sum(),
             "n_inliers": inliers.sum()}
+
+
+def estimate_homography_device(pts1, pts2, reprojection_threshold=3.0,
+                               n_iters=2048, seed=0, max_points=8192):
+    """Host-facing drop-in for eval/metrics.estimate_homography running the
+    batched DLT+RANSAC on device (the production path; cv2 USAC_MAGSAC
+    stays the parity default — reference evaluation.py:371-380).
+
+    pts1/pts2: (N, 2) float (x, y) matched points. Returns (H (3, 3)
+    float64 numpy or None, inlier mask (N, 1) uint8 — cv2.findHomography's
+    shape). Points are padded to the next power of two so the jitted
+    program compiles once per size bucket, not per N.
+    """
+    import numpy as np
+
+    pts1 = np.asarray(pts1, np.float32).reshape(-1, 2)
+    pts2 = np.asarray(pts2, np.float32).reshape(-1, 2)
+    n = pts1.shape[0]
+    if n < 4 or pts2.shape[0] != n:
+        return None, None
+    cap = min(max(16, 1 << (n - 1).bit_length()), max_points)
+    if n > cap:                       # deterministic head truncation
+        pts1, pts2, n = pts1[:cap], pts2[:cap], cap
+    pad = cap - n
+    p1 = np.pad(pts1, ((0, pad), (0, 0)))
+    p2 = np.pad(pts2, ((0, pad), (0, 0)))
+    mask = np.arange(cap) < n
+    out = ransac_homography(jnp.asarray(p1), jnp.asarray(p2),
+                            jnp.asarray(mask), jax.random.PRNGKey(seed),
+                            threshold=reprojection_threshold,
+                            n_iters=n_iters)
+    if int(out["n_inliers"]) < 4:
+        return None, None
+    H = np.asarray(out["H"], np.float64)
+    if not np.all(np.isfinite(H)):
+        return None, None
+    inl = np.asarray(out["inliers"][:n], np.uint8)[:, None]
+    return H, inl
