@@ -231,9 +231,10 @@ def main():
     if len(matches) >= 4:
         pts_o = np.float32([kp_o[q][::-1] for q, t, d in matches])
         pts_t = np.float32([kp_t[t][::-1] for q, t, d in matches])
+        pred_cfg = config.get('prediction', {})
         H_est, inlier_mask = estimate_homography(
-            pts_o, pts_t, config.get('prediction', {}).get(
-                'reprojection_threshold', 3))
+            pts_o, pts_t, pred_cfg.get('reprojection_threshold', 3),
+            method=pred_cfg.get('h_estimator', 'magsac'))
 
     metrics = compute_metrics(matches, kp_o, kp_t, H_est, inlier_mask,
                               time_dict, visible.shape[:2])

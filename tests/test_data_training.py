@@ -313,3 +313,29 @@ def test_eval_step_routes_spectra_like_train_step():
     l_flip, _ = eval_step(state, batch(True))
     # routing must change which encoder sees item 1 -> different loss
     assert abs(float(l_plain) - float(l_flip)) > 1e-6
+
+def test_dataloader_teardown_never_joins_wedged_worker():
+    """Abandoning an epoch (break) must not block on in-flight
+    __getitem__ calls — a worker wedged in native code (cv2/h5py) would
+    otherwise hang generator teardown and Ctrl-C (daemon-pool semantics)."""
+    import threading
+    import time
+
+    release = threading.Event()
+
+    class _Wedge(_IndexDataset):
+        def __getitem__(self, i):
+            if i >= 4:               # everything past batch 0 blocks
+                release.wait(timeout=30)
+            return super().__getitem__(i)
+
+    loader = DataLoader(_Wedge(16), batch_size=4, shuffle=False,
+                        prefetch=2, workers=2)
+    t0 = time.monotonic()
+    it = iter(loader)
+    first = next(it)
+    np.testing.assert_array_equal(first['x'][:, 0], np.arange(4))
+    it.close()                       # GeneratorExit -> pool.close()
+    elapsed = time.monotonic() - t0
+    release.set()                    # let the daemon workers drain
+    assert elapsed < 10.0, f"teardown blocked for {elapsed:.1f}s"

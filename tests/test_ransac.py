@@ -119,3 +119,51 @@ def test_estimate_homography_method_dispatch():
     err_cv = corner_error(H_cv, H_true)
     err_dev = corner_error(H_dev, H_true)
     assert err_dev < max(2.0 * err_cv, 2.0), (err_dev, err_cv)
+
+def test_estimate_homography_device_truncation_mask_length():
+    """Above max_points the estimator fits on a truncated head but the
+    returned inlier mask still covers every input match (cv2-shape
+    contract: callers boolean-index their match list by it)."""
+    from xpoint_tpu.geometry.ransac import estimate_homography_device
+
+    rng = np.random.default_rng(6)
+    pts1, pts2, H_true = make_correspondences(rng, n_in=40, n_out=8)
+    H, inl = estimate_homography_device(pts1, pts2,
+                                        reprojection_threshold=3.0,
+                                        n_iters=256, max_points=32)
+    assert H is not None
+    assert inl.shape == (len(pts1), 1)
+    # truncated tail is reported as outliers, never scored
+    assert int(inl[32:].sum()) == 0
+    assert corner_error(H, H_true) < 2.0
+
+
+def test_estimate_homography_unknown_method_raises():
+    """A typo'd prediction.h_estimator must fail loudly, not silently run
+    the cv2 parity path."""
+    from xpoint_tpu.eval.metrics import estimate_homography
+
+    rng = np.random.default_rng(7)
+    pts1, pts2, _ = make_correspondences(rng, n_in=20, n_out=0)
+    with pytest.raises(ValueError, match="h_estimator"):
+        estimate_homography(pts1, pts2, method='on-device')
+
+
+def test_descriptor_metrics_sample_threads_h_estimator():
+    """descriptor_metrics_sample forwards h_estimator to the homography
+    estimation (the -e evaluation path honors prediction.h_estimator)."""
+    from xpoint_tpu.eval.metrics import descriptor_metrics_sample
+
+    kp = np.array([[10, 10], [20, 40], [40, 20], [60, 60], [30, 70]])
+    desc = np.eye(5, 8, dtype=np.float32)
+    matches = [(i, i, 0.0) for i in range(5)]
+    with pytest.raises(ValueError, match="h_estimator"):
+        descriptor_metrics_sample(kp, desc, kp, desc, np.eye(3), np.eye(3),
+                                  (96, 96), matches_optical=matches,
+                                  matches_thermal=matches,
+                                  h_estimator='bogus')
+    s = descriptor_metrics_sample(kp, desc, kp, desc, np.eye(3), np.eye(3),
+                                  (96, 96), matches_optical=matches,
+                                  matches_thermal=matches,
+                                  h_estimator='device')
+    assert s['pts_dist'] < 1.0  # identity pair registers

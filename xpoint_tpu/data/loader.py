@@ -15,8 +15,8 @@ Batches are handed out in deterministic order regardless of worker count
 a shared RNG interleave their draws nondeterministically across threads —
 the same caveat as the reference's multi-worker DataLoader.
 """
-import collections
-from concurrent.futures import ThreadPoolExecutor
+import queue
+import threading
 
 import numpy as np
 
@@ -76,24 +76,86 @@ class DataLoader:
         # worker pool with ordered reassembly: up to `ahead` batches in
         # flight, yielded strictly in submission order. workers=1 keeps
         # the single-prefetch-thread behavior this container needs.
+        # Daemon threads on purpose: an abandoned epoch (break, exception,
+        # Ctrl-C) must never join a worker that is wedged inside native
+        # code (cv2/h5py) — teardown just stops feeding and walks away,
+        # matching the old daemon prefetch-thread semantics.
         ahead = max(self.prefetch, self.workers)
+        pool = _OrderedPool(self._build, self.workers)
         it = iter(batches)
-        pending = collections.deque()
-        ex = ThreadPoolExecutor(max_workers=self.workers,
-                                thread_name_prefix="xpoint-loader")
+        seq_submit = seq_yield = 0
         try:
             for _ in range(ahead):
                 b = next(it, None)
                 if b is None:
                     break
-                pending.append(ex.submit(self._build, b))
-            while pending:
-                batch = pending.popleft().result()
+                pool.submit(seq_submit, b)
+                seq_submit += 1
+            while seq_yield < seq_submit:
+                batch = pool.get(seq_yield)
+                seq_yield += 1
                 b = next(it, None)
                 if b is not None:
-                    pending.append(ex.submit(self._build, b))
+                    pool.submit(seq_submit, b)
+                    seq_submit += 1
                 yield batch
         finally:
-            for f in pending:
-                f.cancel()
-            ex.shutdown(wait=True, cancel_futures=True)
+            pool.close()
+
+
+class _OrderedPool:
+    """Daemon-thread worker pool yielding results by submission sequence
+    number. close() is non-blocking: it stops feeding work and leaves any
+    in-flight __getitem__ to finish (or wedge) in the background without
+    blocking generator teardown or interpreter exit."""
+
+    def __init__(self, fn, workers):
+        self._fn = fn
+        self._workers = workers
+        self._tasks = queue.SimpleQueue()
+        self._results = {}
+        self._cv = threading.Condition()
+        self._closed = False
+        for i in range(workers):
+            threading.Thread(target=self._work, daemon=True,
+                             name=f"xpoint-loader-{i}").start()
+
+    def submit(self, seq, arg):
+        self._tasks.put((seq, arg))
+
+    def _work(self):
+        while True:
+            item = self._tasks.get()
+            if item is None:
+                return
+            seq, arg = item
+            try:
+                res = (True, self._fn(arg))
+            except BaseException as e:  # propagate to the consumer
+                res = (False, e)
+            with self._cv:
+                if self._closed:
+                    return
+                self._results[seq] = res
+                self._cv.notify_all()
+
+    def get(self, seq):
+        with self._cv:
+            while seq not in self._results:
+                self._cv.wait()
+            ok, val = self._results.pop(seq)
+        if not ok:
+            raise val
+        return val
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+        # wake idle workers so they exit; busy ones see _closed afterwards
+        while not self._tasks.empty():
+            try:
+                self._tasks.get_nowait()
+            except queue.Empty:
+                break
+        for _ in range(self._workers):
+            self._tasks.put(None)

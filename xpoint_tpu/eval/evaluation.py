@@ -102,5 +102,6 @@ def compute_descriptor_metrics(infer, dataloader, config,
                 kp_o, d_o, kp_t, d_t, H_o[i], H_t[i], image_shape,
                 threshold_keypoints, matches_optical, matches_thermal,
                 matches_ransac=matches_ransac,
-                reprojection_threshold=config.get('reprojection_threshold', 3)))
+                reprojection_threshold=config.get('reprojection_threshold', 3),
+                h_estimator=config.get('h_estimator', 'magsac')))
     return aggregate_descriptor_metrics(samples, threshold_warp)

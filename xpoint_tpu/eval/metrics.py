@@ -112,6 +112,9 @@ def estimate_homography(optical_pts, thermal_pts, reprojection_threshold=3,
         return estimate_homography_device(
             optical_pts, thermal_pts,
             reprojection_threshold=reprojection_threshold)
+    if method != 'magsac':
+        raise ValueError(f"unknown h_estimator {method!r} "
+                         "(expected 'magsac' or 'device')")
     optical_pts = np.float32(optical_pts).reshape(-1, 1, 2)
     thermal_pts = np.float32(thermal_pts).reshape(-1, 1, 2)
     if optical_pts.shape[0] < 4 or thermal_pts.shape[0] < 4:
@@ -139,7 +142,7 @@ def descriptor_metrics_sample(kp_optical, desc_optical, kp_thermal,
                               desc_thermal, h_optical, h_thermal, image_shape,
                               threshold_keypoints=3, matches_optical=None,
                               matches_thermal=None, matches_ransac=None,
-                              reprojection_threshold=3):
+                              reprojection_threshold=3, h_estimator='magsac'):
     """Per-pair descriptor metrics (evaluation.py:272-395).
 
     matches_*: lists of (query_idx, train_idx, distance) tuples
@@ -193,7 +196,8 @@ def descriptor_metrics_sample(kp_optical, desc_optical, kp_thermal,
     optical_pts = np.float32([kp_optical[q][::-1] for q, t, d in mr])
     thermal_pts = np.float32([kp_thermal[t][::-1] for q, t, d in mr])
     H_est, _ = estimate_homography(optical_pts, thermal_pts,
-                                   reprojection_threshold)
+                                   reprojection_threshold,
+                                   method=h_estimator)
     pts_dist = homography_corner_error(H_est, gt_homography, image_shape)
 
     return {

@@ -90,26 +90,46 @@ def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
     Hs = jax.vmap(fit_one)(sel)                         # (n_iters, 3, 3)
     errs = jax.vmap(lambda H: _reproj_error(H, pts1, pts2))(Hs)
     valid = mask[None, :]
-    # MAGSAC-style truncated quadratic score
-    scores = jnp.where(valid & (errs < threshold),
-                       1.0 - (errs / threshold) ** 2, 0.0).sum(-1)
+
+    def trunc_score(e, v, th):
+        return jnp.where(v & (e < th), 1.0 - (e / th) ** 2, 0.0).sum(-1)
+
+    # MAGSAC-flavored scoring: marginalize the truncated-quadratic score
+    # over a small noise-scale ladder instead of committing to one
+    # threshold — on low-inlier/noisy matches a hypothesis that is
+    # roughly right at 2-4x the threshold beats one that nails 4 points
+    # by chance (cv2 USAC_MAGSAC's sigma marginalization, coarsely)
+    scores = (trunc_score(errs, valid, threshold)
+              + 0.5 * trunc_score(errs, valid, 2.0 * threshold)
+              + 0.25 * trunc_score(errs, valid, 4.0 * threshold))
     best = jnp.argmax(scores)
     H_best = Hs[best]
 
     if refine:
-        err = _reproj_error(H_best, pts1, pts2)
-        w = jnp.where(mask & (err < threshold),
-                      1.0 - (err / threshold) ** 2, 0.0)
-        T1, p1n = _normalization(pts1, w > 0)
-        T2, p2n = _normalization(pts2, w > 0)
-        Hn = fit_homography_dlt(p1n, p2n, w)
-        H_ref = jnp.linalg.inv(T2) @ Hn @ T1
-        # keep the refinement only if it scores at least as well
-        err_ref = _reproj_error(H_ref, pts1, pts2)
-        score_ref = jnp.where(mask & (err_ref < threshold),
-                              1.0 - (err_ref / threshold) ** 2, 0.0).sum()
-        use_ref = score_ref >= scores[best]
-        H_best = jnp.where(use_ref, H_ref, H_best)
+        # annealed iteratively-reweighted refinement (LO-RANSAC flavor):
+        # refit on truncated-quadratic weights at a shrinking threshold
+        # ladder 4t -> 2t -> t -> t, keeping each round only if the FINAL
+        # (threshold-t) score does not regress — pulls in near-miss
+        # inliers first, then polishes on the strict set
+        def final_score(H):
+            e = _reproj_error(H, pts1, pts2)
+            return trunc_score(e, mask, threshold)
+
+        def refine_once(H_cur, score_cur, th):
+            err = _reproj_error(H_cur, pts1, pts2)
+            w = jnp.where(mask & (err < th), 1.0 - (err / th) ** 2, 0.0)
+            T1, p1n = _normalization(pts1, w > 0)
+            T2, p2n = _normalization(pts2, w > 0)
+            Hn = fit_homography_dlt(p1n, p2n, w)
+            H_ref = jnp.linalg.inv(T2) @ Hn @ T1
+            score_ref = final_score(H_ref)
+            use_ref = score_ref >= score_cur
+            return (jnp.where(use_ref, H_ref, H_cur),
+                    jnp.maximum(score_ref, score_cur))
+
+        score_best = final_score(H_best)
+        for th in (4.0 * threshold, 2.0 * threshold, threshold, threshold):
+            H_best, score_best = refine_once(H_best, score_best, th)
 
     err = _reproj_error(H_best, pts1, pts2)
     inliers = mask & (err < threshold)
@@ -122,38 +142,46 @@ def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
 
 
 def estimate_homography_device(pts1, pts2, reprojection_threshold=3.0,
-                               n_iters=2048, seed=0, max_points=8192):
+                               n_iters=8192, seed=0, max_points=8192):
     """Host-facing drop-in for eval/metrics.estimate_homography running the
     batched DLT+RANSAC on device (the production path; cv2 USAC_MAGSAC
     stays the parity default — reference evaluation.py:371-380).
 
     pts1/pts2: (N, 2) float (x, y) matched points. Returns (H (3, 3)
     float64 numpy or None, inlier mask (N, 1) uint8 — cv2.findHomography's
-    shape). Points are padded to the next power of two so the jitted
-    program compiles once per size bucket, not per N.
+    shape, always the full input length N). Points are padded to the next
+    power of two so the jitted program compiles once per size bucket, not
+    per N. Above ``max_points`` only the first ``max_points`` matches are
+    fitted/scored (deterministic head truncation; the cv2 path uses all) —
+    the excess rows come back as outliers (0) in the mask.
     """
     import numpy as np
 
     pts1 = np.asarray(pts1, np.float32).reshape(-1, 2)
     pts2 = np.asarray(pts2, np.float32).reshape(-1, 2)
-    n = pts1.shape[0]
+    n_in = pts1.shape[0]
+    n = n_in
     if n < 4 or pts2.shape[0] != n:
         return None, None
     cap = min(max(16, 1 << (n - 1).bit_length()), max_points)
-    if n > cap:                       # deterministic head truncation
+    if n > cap:
         pts1, pts2, n = pts1[:cap], pts2[:cap], cap
     pad = cap - n
     p1 = np.pad(pts1, ((0, pad), (0, 0)))
     p2 = np.pad(pts2, ((0, pad), (0, 0)))
     mask = np.arange(cap) < n
-    out = ransac_homography(jnp.asarray(p1), jnp.asarray(p2),
-                            jnp.asarray(mask), jax.random.PRNGKey(seed),
-                            threshold=reprojection_threshold,
-                            n_iters=n_iters)
+    # one host fetch for the whole output dict — each extra device->host
+    # read costs a tunnel round trip (~25 ms, .claude/skills/verify)
+    out = jax.device_get(
+        ransac_homography(jnp.asarray(p1), jnp.asarray(p2),
+                          jnp.asarray(mask), jax.random.PRNGKey(seed),
+                          threshold=reprojection_threshold,
+                          n_iters=n_iters))
     if int(out["n_inliers"]) < 4:
         return None, None
     H = np.asarray(out["H"], np.float64)
     if not np.all(np.isfinite(H)):
         return None, None
-    inl = np.asarray(out["inliers"][:n], np.uint8)[:, None]
+    inl = np.zeros((n_in, 1), np.uint8)
+    inl[:n, 0] = out["inliers"][:n]
     return H, inl
