@@ -167,8 +167,33 @@ def test_subpixel_refinement_op():
     assert err_ref < 0.08 and err_ref < err_int / 4
     # offsets bounded by half a pixel everywhere
     assert np.all(np.abs(out[:3] - kps[:3]) <= 0.5 + 1e-6)
+    # border keypoints stay ON the integer grid (the clipped neighbor
+    # duplicates the center, degenerating the parabola to a constant
+    # -0.5 shift out of the image)
+    np.testing.assert_array_equal(out[1], kps[1].astype(np.float32))
     # padding row untouched
     np.testing.assert_array_equal(out[3], kps[3].astype(np.float32))
+
+
+def test_subpixel_refinement_true_border_peak_stays_in_image():
+    """A genuine maximum on the image edge must refine to itself along the
+    border axis (never to a coordinate outside the image) while the
+    in-image axis still refines."""
+    from xpoint_tpu.ops.detector import refine_keypoints_subpixel
+
+    prob = np.zeros((16, 16), np.float32)
+    prob[0, 8] = 1.0
+    prob[1, 8] = 0.4            # decaying into the image
+    prob[0, 7] = 0.3
+    prob[0, 9] = 0.5            # x-asymmetry: dx should move toward col 9
+    kps = np.array([[0, 8], [15, 0]], np.int32)
+    valid = np.array([True, True])
+    out = np.asarray(refine_keypoints_subpixel(
+        jnp.asarray(prob), jnp.asarray(kps), jnp.asarray(valid)))
+    assert out[0, 0] == 0.0                 # row pinned at the border
+    assert 8.0 < out[0, 1] <= 8.5           # col refines toward 9
+    np.testing.assert_array_equal(out[1], [15.0, 0.0])  # corner pinned
+    assert np.all(out[:, 0] >= 0) and np.all(out[:, 1] >= 0)
 
 
 def test_keypoints_from_prob_subpixel_path():

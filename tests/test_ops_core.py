@@ -186,6 +186,14 @@ def test_grid_nms_pallas_matches_xla_path():
         pal = np.asarray(_grid_nms_keep_pallas(jnp.asarray(prob), valid,
                                                size, 0.1))
         np.testing.assert_array_equal(pal, ref)
+    # negative min_prob: pixels with score <= 0 are VALID and must be
+    # eligible on both paths (the kernel once re-derived validity as p > 0)
+    signed = prob - 0.5
+    valid = jnp.full(signed.shape, True)
+    ref = np.asarray(_grid_nms_keep(jnp.asarray(signed), valid, 8, 0.1))
+    pal = np.asarray(_grid_nms_keep_pallas(jnp.asarray(signed), valid,
+                                           8, 0.1))
+    np.testing.assert_array_equal(pal, ref)
 
 
 def test_box_nms_long_suppression_chain_converges():

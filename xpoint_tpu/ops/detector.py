@@ -60,5 +60,10 @@ def refine_keypoints_subpixel(prob, kps, valid):
     p0 = at(0, 0)
     dy = _quadratic_peak_offset(at(-1, 0), p0, at(1, 0))
     dx = _quadratic_peak_offset(at(0, -1), p0, at(0, 1))
+    # at image borders the clipped neighbor duplicates the center, which
+    # degenerates the parabola to a constant +-0.5 shift OUT of the image
+    # — keep border keypoints on the integer grid along that axis
+    dy = jnp.where((r > 0) & (r < H - 1), dy, 0.0)
+    dx = jnp.where((c > 0) & (c < W - 1), dx, 0.0)
     out = kps.astype(jnp.float32) + jnp.stack([dy, dx], axis=-1)
     return jnp.where(valid[:, None], out, kps.astype(jnp.float32))

@@ -48,10 +48,12 @@ def _nms_sweep_kernel(p_ref, keep_ref, keep_scr, *, size, iou, widths):
     loop carries, and a (512, 512) plane is 256 vregs of carry otherwise.
     """
     neg = jnp.float32(-jnp.inf)
-    p = p_ref[0].astype(jnp.float32)              # (H, W)
+    p = p_ref[0].astype(jnp.float32)              # (H, W), invalid == -inf
     H, W = p.shape
-    max_w = max(w for w in widths if w >= 0)
-    keep_scr[...] = jnp.where(p > 0.0, 1.0, 0.0)  # caller pre-thresholds
+    # all-negative widths (iou >= 1) means no pair ever suppresses — the
+    # XLA path degrades to keep-everything-valid; mirror that here
+    max_w = max((w for w in widths if w >= 0), default=0)
+    keep_scr[...] = jnp.where(p != neg, 1.0, 0.0)
 
     def shift_x(a, d):
         fill = jnp.full((H, abs(d)), neg, jnp.float32)
@@ -89,7 +91,7 @@ def _nms_sweep_kernel(p_ref, keep_ref, keep_scr, *, size, iou, widths):
         _, it = state
         keep = keep_scr[...]
         S = jnp.where(keep > 0.5, p, neg)
-        new = jnp.where((p > 0.0) & ~(neighbor_max(S) > p), 1.0, 0.0)
+        new = jnp.where((p != neg) & ~(neighbor_max(S) > p), 1.0, 0.0)
         keep_scr[...] = new
         changed = jnp.sum((new != keep).astype(jnp.int32))
         return changed, it + 1
@@ -102,7 +104,10 @@ def _nms_sweep_kernel(p_ref, keep_ref, keep_scr, *, size, iou, widths):
 def _grid_nms_keep_pallas(prob, valid, size, iou):
     """VMEM-resident NMS fixed point; same contract as _grid_nms_keep."""
     B, H, W = prob.shape
-    p = jnp.where(valid, prob.astype(jnp.float32), 0.0)
+    # invalid pixels carry -inf (NOT 0) so the kernel's keep set is exactly
+    # the caller's valid mask — scores <= 0 on valid pixels stay eligible,
+    # matching the XLA path's semantics for negative min_prob
+    p = jnp.where(valid, prob.astype(jnp.float32), -jnp.inf)
     widths = tuple(_overlap_widths(size, iou))
     keep = pl.pallas_call(
         partial(_nms_sweep_kernel, size=size, iou=iou, widths=widths),

@@ -295,8 +295,10 @@ def make_sharded_ha_fn(make_prob_fn, config, mesh, warp_batch=8):
 
     Returns (run(variables, img_o, img_t, homographies) -> dict, merged_cfg).
     """
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    from ..parallel.mesh import DATA_AXIS
 
     cfg = dict_update(copy.deepcopy(HA_DEFAULT_CONFIG), config or {})
 
@@ -304,9 +306,12 @@ def make_sharded_ha_fn(make_prob_fn, config, mesh, warp_batch=8):
         return _ha_run_impl(make_prob_fn(variables), cfg, warp_batch,
                             img_o, img_t, homographies, None)
 
+    # check_vma=False: the per-shard body treats replicated inputs
+    # (variables, homographies) as unsharded constants, same as the
+    # serving pipeline's shard_map usage
     sharded = shard_map(local, mesh=mesh,
-                        in_specs=(P(), P('data'), P('data'), P()),
-                        out_specs=P('data'), check_rep=False)
+                        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                        out_specs=P(DATA_AXIS), check_vma=False)
     return jax.jit(sharded), cfg
 
 

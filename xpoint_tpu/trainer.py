@@ -246,6 +246,7 @@ class Trainer:
                 self.state = self.state.replace(
                     lr=jnp.asarray(self.lr_at_epoch(epoch), jnp.float32))
             epoch_losses = []
+            epoch_skips = []
             t_epoch = time.time()
             for i, batch in enumerate(self._epoch_batches()):
                 if max_steps_per_epoch and i >= max_steps_per_epoch:
@@ -267,6 +268,7 @@ class Trainer:
                 # train.py:243 — on TPU that sync costs the whole pipelining
                 # win). Fetch only at log points and once per epoch.
                 epoch_losses.append(comps['loss'])
+                epoch_skips.append(comps.get('skipped_nonfinite', 0.0))
                 if self.writer and step % log_every == 0:
                     host_comps = jax.device_get(comps)
                     self.writer.add_scalar('batch/loss',
@@ -279,12 +281,15 @@ class Trainer:
             if epoch_losses:
                 host_losses = np.asarray(jax.device_get(epoch_losses))
                 # non-finite batches are SKIPPED by the train step
-                # (GradScaler parity, parallel/train_step.py) — exclude
-                # them from the epoch mean and surface the count instead
-                n_skipped = int(np.sum(~np.isfinite(host_losses)))
-                mean_loss = (float(np.nanmean(
-                    np.where(np.isfinite(host_losses), host_losses, np.nan)))
-                    if n_skipped < len(host_losses) else float('nan'))
+                # (GradScaler parity, parallel/train_step.py) — the step's
+                # own skipped_nonfinite flag is authoritative: it also
+                # catches finite-loss/non-finite-GRADIENT steps (the AMP
+                # overflow case) that loss finiteness alone misses
+                host_skips = (np.asarray(jax.device_get(epoch_skips)) > 0.5)
+                taken = ~host_skips & np.isfinite(host_losses)
+                n_skipped = int(np.sum(~taken))
+                mean_loss = (float(host_losses[taken].mean())
+                             if taken.any() else float('nan'))
                 if n_skipped:
                     print(f"epoch {epoch}: skipped {n_skipped} non-finite "
                           f"batch(es)", flush=True)
