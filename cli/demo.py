@@ -234,7 +234,8 @@ def main():
         pred_cfg = config.get('prediction', {})
         H_est, inlier_mask = estimate_homography(
             pts_o, pts_t, pred_cfg.get('reprojection_threshold', 3),
-            method=pred_cfg.get('h_estimator', 'magsac'))
+            method=pred_cfg.get('h_estimator', 'magsac'),
+            match_distances=[d for q, t, d in matches])
 
     metrics = compute_metrics(matches, kp_o, kp_t, H_est, inlier_mask,
                               time_dict, visible.shape[:2])

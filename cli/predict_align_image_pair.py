@@ -81,7 +81,8 @@ def main():
     pts_t = np.float32([kp_t[t][::-1] for q, t, d in matches])
     H_est, inlier_mask = estimate_homography(
         pts_o, pts_t, config['prediction'].get('reprojection_threshold', 3),
-        method=config['prediction'].get('h_estimator', 'magsac'))
+        method=config['prediction'].get('h_estimator', 'magsac'),
+        match_distances=[d for q, t, d in matches])
     if H_est is not None:
         print("estimated homography:")
         print(np.array2string(H_est, precision=4))

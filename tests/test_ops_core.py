@@ -408,3 +408,17 @@ def test_box_nms_extract_block_topk_parity():
     assert n2 == n
     got2 = {tuple(map(int, kp)) for kp in np.asarray(kps2)[:n2]}
     assert got2 == want
+
+def test_sample_homography_follows_global_seed():
+    """With no explicit rng, sample_homography must draw from the GLOBAL
+    np.random stream (reference homographies.py samples via legacy
+    np.random, so a CLI-level np.random.seed() makes every eval's warp set
+    reproducible). An unseeded default_rng() made benchmark runs
+    non-comparable across invocations."""
+    np.random.seed(123)
+    H1 = sample_homography((64, 64))
+    np.random.seed(123)
+    H2 = sample_homography((64, 64))
+    np.testing.assert_array_equal(H1, H2)
+    H3 = sample_homography((64, 64))     # stream advances
+    assert not np.allclose(H1, H3)

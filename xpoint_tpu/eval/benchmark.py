@@ -198,9 +198,11 @@ def compute_metrics(infer, dataloader, config,
             # ---- homography over ransac thresholds ----
             pts_o = np.float32([kp_o[q][::-1] for q, t, d in matches_ransac])
             pts_t = np.float32([kp_t[t][::-1] for q, t, d in matches_ransac])
+            match_d = [d for q, t, d in matches_ransac]
             for th in threshold_ransac:
                 H_est, _ = estimate_homography(pts_o, pts_t, th,
-                                               method=h_estimator)
+                                               method=h_estimator,
+                                               match_distances=match_d)
                 pts_dist_acc[th].append(
                     homography_corner_error(H_est, gt_H, image_shape))
 

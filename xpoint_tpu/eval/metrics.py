@@ -99,19 +99,24 @@ def repeatability_sample(kp_optical, kp_thermal, h_optical, h_thermal,
 
 
 def estimate_homography(optical_pts, thermal_pts, reprojection_threshold=3,
-                        method='magsac'):
+                        method='magsac', match_distances=None):
     """Homography from matched (x, y) point arrays (evaluation.py:364-380).
     Returns None when under-determined.
 
     method: 'magsac' = cv2 USAC_MAGSAC host-side (reference parity,
     default); 'device' = the batched on-device DLT+RANSAC
     (geometry/ransac.py) — the production path, selectable in the
-    benchmark CLI via `prediction: h_estimator: device`."""
+    benchmark CLI via `prediction: h_estimator: device`.
+
+    match_distances: optional per-match descriptor distances (lower is
+    better); the device estimator uses them for PROSAC-style progressive
+    sampling (the cv2 path ignores them — USAC sorts internally)."""
     if method == 'device':
         from ..geometry.ransac import estimate_homography_device
         return estimate_homography_device(
             optical_pts, thermal_pts,
-            reprojection_threshold=reprojection_threshold)
+            reprojection_threshold=reprojection_threshold,
+            quality=match_distances)
     if method != 'magsac':
         raise ValueError(f"unknown h_estimator {method!r} "
                          "(expected 'magsac' or 'device')")
@@ -197,7 +202,8 @@ def descriptor_metrics_sample(kp_optical, desc_optical, kp_thermal,
     thermal_pts = np.float32([kp_thermal[t][::-1] for q, t, d in mr])
     H_est, _ = estimate_homography(optical_pts, thermal_pts,
                                    reprojection_threshold,
-                                   method=h_estimator)
+                                   method=h_estimator,
+                                   match_distances=[d for q, t, d in mr])
     pts_dist = homography_corner_error(H_est, gt_homography, image_shape)
 
     return {

@@ -66,10 +66,12 @@ def make_pair_pipeline(module, image_shape, k=1024, nms_size=8,
             p1 = jnp.flip(kps_o.astype(jnp.float32), -1)
             p2 = jnp.flip(jnp.take_along_axis(
                 kps_t.astype(jnp.float32), idx2[..., None], axis=1), -1)
-            out_r = jax.vmap(partial(ransac_homography,
-                                     threshold=ransac_threshold,
-                                     n_iters=ransac_iters))(
-                p1, p2, matched, keys)
+            # match distances double as the PROSAC quality prior
+            out_r = jax.vmap(
+                lambda a, b, m, k, q: ransac_homography(
+                    a, b, m, k, threshold=ransac_threshold,
+                    n_iters=ransac_iters, quality=q))(
+                p1, p2, matched, keys, dist)
             extra = {"H_est": out_r["H"], "ransac_inliers": out_r["inliers"],
                      "ransac_score": out_r["score"],
                      "ransac_n_inliers": out_r["n_inliers"]}

@@ -45,7 +45,13 @@ def sample_homography(image_shape, perspective=True, scaling=True, rotation=True
         (3, 3) float64 homography mapping original -> warped pixel coords
         in cv2 (x=col, y=row) convention.
     """
-    rng = np.random.default_rng() if rng is None else rng
+    # default to a Generator seeded from the GLOBAL np.random stream:
+    # the reference samples via legacy np.random (homographies.py:303+),
+    # so a CLI-level np.random.seed() must make these draws
+    # reproducible too (an unseeded default_rng() pulls OS entropy and
+    # made every eval's warp set different run to run)
+    if rng is None:
+        rng = np.random.default_rng(np.random.randint(0, 2**31))
 
     def _uniform(lo, hi):
         # legacy np.random.uniform tolerates hi < lo; Generator does not
@@ -133,7 +139,13 @@ def sample_homography(image_shape, perspective=True, scaling=True, rotation=True
 def sample_homography_corner(image_shape, config, rng=None):
     """DeepHomography-style +-rho corner jitter of a random patch; returns the
     INVERSE homography like the reference (homographies.py:455-477)."""
-    rng = np.random.default_rng() if rng is None else rng
+    # default to a Generator seeded from the GLOBAL np.random stream:
+    # the reference samples via legacy np.random (homographies.py:303+),
+    # so a CLI-level np.random.seed() must make these draws
+    # reproducible too (an unseeded default_rng() pulls OS entropy and
+    # made every eval's warp set different run to run)
+    if rng is None:
+        rng = np.random.default_rng(np.random.randint(0, 2**31))
     imsize = (image_shape[1], image_shape[0])
     rho = config["rho"]
     patch_size = config["patch_size"]

@@ -59,9 +59,9 @@ def _reproj_error(H, pts1, pts2):
     return jnp.sqrt(((proj - pts2) ** 2).sum(-1))
 
 
-@partial(jax.jit, static_argnames=("n_iters", "refine"))
+@partial(jax.jit, static_argnames=("n_iters", "refine", "n_refine"))
 def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
-                      refine=True):
+                      refine=True, quality=None, n_refine=16):
     """Batched RANSAC homography.
 
     Args:
@@ -70,8 +70,15 @@ def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
         rng: jax PRNG key.
         threshold: inlier reprojection threshold (px).
         n_iters: hypotheses, all fitted/scored in parallel.
-        refine: re-fit on the best hypothesis' inliers (truncated-weighted
-            least squares, one MAGSAC-flavored refinement).
+        refine: anneal-refine the top hypotheses (LO-RANSAC flavor).
+        quality: optional (N,) match quality, LOWER is better (descriptor
+            distance). Enables PROSAC-style progressive sampling: early
+            hypotheses draw from the best few matches, later ones from
+            the whole set — inliers concentrate among the best matches,
+            so this raises the all-inlier sample rate by orders of
+            magnitude on low-inlier-ratio data (cv2 USAC's sampler).
+        n_refine: how many top-scored hypotheses get the full annealed
+            refinement (best final score wins).
 
     Returns dict(H (3,3), inliers (N,) bool, score (), n_inliers ()).
     """
@@ -82,6 +89,15 @@ def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
 
     # sample 4 distinct indices per hypothesis via Gumbel top-k
     g = jax.random.gumbel(rng, (n_iters, N)) + logits[None]
+    if quality is not None:
+        # PROSAC-style schedule: hypothesis j draws its 4-sample from the
+        # top n_j quality-ranked matches, n_j growing geometrically from
+        # 8 to N across the batch of hypotheses
+        order = jnp.argsort(jnp.where(mask, quality, jnp.inf))
+        rank = jnp.argsort(order)                        # (N,) 0 = best
+        jfrac = jnp.arange(n_iters, dtype=jnp.float32) / max(n_iters - 1, 1)
+        n_j = 8.0 * (N / 8.0) ** jfrac                   # (n_iters,)
+        g = g + jnp.where(rank[None, :] < n_j[:, None], 0.0, -jnp.inf)
     _, sel = jax.lax.top_k(g, 4)                        # (n_iters, 4)
 
     def fit_one(idx):
@@ -95,41 +111,69 @@ def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
         return jnp.where(v & (e < th), 1.0 - (e / th) ** 2, 0.0).sum(-1)
 
     # MAGSAC-flavored scoring: marginalize the truncated-quadratic score
-    # over a small noise-scale ladder instead of committing to one
-    # threshold — on low-inlier/noisy matches a hypothesis that is
-    # roughly right at 2-4x the threshold beats one that nails 4 points
-    # by chance (cv2 USAC_MAGSAC's sigma marginalization, coarsely)
-    scores = (trunc_score(errs, valid, threshold)
-              + 0.5 * trunc_score(errs, valid, 2.0 * threshold)
-              + 0.25 * trunc_score(errs, valid, 4.0 * threshold))
-    best = jnp.argmax(scores)
-    H_best = Hs[best]
+    # over a noise-scale ladder up to 8x the threshold instead of
+    # committing to one sigma — on low-inlier/noisy matches the right
+    # registration often has only 1-5 strict inliers but 10-20 loose
+    # (2-8x) ones, and a strict-only score cannot see them (this is what
+    # cv2 USAC_MAGSAC's sigma marginalization buys)
+    def marg_score_from_errs(e, v):
+        return (trunc_score(e, v, threshold)
+                + 0.5 * trunc_score(e, v, 2.0 * threshold)
+                + 0.25 * trunc_score(e, v, 4.0 * threshold)
+                + 0.125 * trunc_score(e, v, 8.0 * threshold))
+
+    scores = marg_score_from_errs(errs, valid)
+
+    def marg_score(H):
+        return marg_score_from_errs(_reproj_error(H, pts1, pts2), mask)
 
     if refine:
-        # annealed iteratively-reweighted refinement (LO-RANSAC flavor):
-        # refit on truncated-quadratic weights at a shrinking threshold
-        # ladder 4t -> 2t -> t -> t, keeping each round only if the FINAL
-        # (threshold-t) score does not regress — pulls in near-miss
-        # inliers first, then polishes on the strict set
-        def final_score(H):
-            e = _reproj_error(H, pts1, pts2)
-            return trunc_score(e, mask, threshold)
-
-        def refine_once(H_cur, score_cur, th):
+        # LO-RANSAC-style local optimization on the TOP n_refine
+        # hypotheses (not just the single best — the sampling score's
+        # argmax is often not the hypothesis that refines best):
+        # annealed iteratively-reweighted refits on truncated-quadratic
+        # weights down a shrinking sigma ladder; the best iterate and
+        # the final winner are judged by the SAME marginalized score the
+        # hypotheses were ranked with (a strict-threshold criterion
+        # collapses on pairs whose consensus only exists at 2-4x sigma).
+        def refine_once(H_cur, th):
             err = _reproj_error(H_cur, pts1, pts2)
             w = jnp.where(mask & (err < th), 1.0 - (err / th) ** 2, 0.0)
             T1, p1n = _normalization(pts1, w > 0)
             T2, p2n = _normalization(pts2, w > 0)
             Hn = fit_homography_dlt(p1n, p2n, w)
-            H_ref = jnp.linalg.inv(T2) @ Hn @ T1
-            score_ref = final_score(H_ref)
-            use_ref = score_ref >= score_cur
-            return (jnp.where(use_ref, H_ref, H_cur),
-                    jnp.maximum(score_ref, score_cur))
+            return jnp.linalg.inv(T2) @ Hn @ T1
 
-        score_best = final_score(H_best)
-        for th in (4.0 * threshold, 2.0 * threshold, threshold, threshold):
-            H_best, score_best = refine_once(H_best, score_best, th)
+        def refine_full(H0):
+            H_best_i, s_best_i = H0, marg_score(H0)
+            H_cur = H0
+            for th in (8.0 * threshold, 4.0 * threshold, 2.0 * threshold,
+                       threshold, threshold):
+                H_cur = refine_once(H_cur, th)
+                s_cur = marg_score(H_cur)
+                better = s_cur >= s_best_i
+                H_best_i = jnp.where(better, H_cur, H_best_i)
+                s_best_i = jnp.maximum(s_cur, s_best_i)
+            return H_best_i, s_best_i
+
+        k_ref = min(n_refine, n_iters)
+        _, top_idx = jax.lax.top_k(scores, k_ref)
+        H_cands, s_cands = jax.vmap(refine_full)(Hs[top_idx])
+        best = jnp.argmax(s_cands)
+        H_best = H_cands[best]
+        # final strict-sigma polish: two IRLS rounds at the caller's
+        # threshold, accepted only if the STRICT score improves — tightens
+        # the winner onto its exact consensus without risking the
+        # marginalized selection above
+        def strict_score(H):
+            return trunc_score(_reproj_error(H, pts1, pts2), mask, threshold)
+
+        for _ in range(2):
+            H_pol = refine_once(H_best, threshold)
+            use = strict_score(H_pol) > strict_score(H_best)
+            H_best = jnp.where(use, H_pol, H_best)
+    else:
+        H_best = Hs[jnp.argmax(scores)]
 
     err = _reproj_error(H_best, pts1, pts2)
     inliers = mask & (err < threshold)
@@ -142,7 +186,8 @@ def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
 
 
 def estimate_homography_device(pts1, pts2, reprojection_threshold=3.0,
-                               n_iters=8192, seed=0, max_points=8192):
+                               n_iters=8192, seed=0, max_points=8192,
+                               quality=None):
     """Host-facing drop-in for eval/metrics.estimate_homography running the
     batched DLT+RANSAC on device (the production path; cv2 USAC_MAGSAC
     stays the parity default — reference evaluation.py:371-380).
@@ -154,6 +199,9 @@ def estimate_homography_device(pts1, pts2, reprojection_threshold=3.0,
     per N. Above ``max_points`` only the first ``max_points`` matches are
     fitted/scored (deterministic head truncation; the cv2 path uses all) —
     the excess rows come back as outliers (0) in the mask.
+
+    quality: optional (N,) per-match quality, lower is better (descriptor
+    match distance) — enables PROSAC-style progressive sampling.
     """
     import numpy as np
 
@@ -170,13 +218,18 @@ def estimate_homography_device(pts1, pts2, reprojection_threshold=3.0,
     p1 = np.pad(pts1, ((0, pad), (0, 0)))
     p2 = np.pad(pts2, ((0, pad), (0, 0)))
     mask = np.arange(cap) < n
+    q = None
+    if quality is not None:
+        q = np.full((cap,), np.inf, np.float32)
+        q[:n] = np.asarray(quality, np.float32).reshape(-1)[:n]
+        q = jnp.asarray(q)
     # one host fetch for the whole output dict — each extra device->host
     # read costs a tunnel round trip (~25 ms, .claude/skills/verify)
     out = jax.device_get(
         ransac_homography(jnp.asarray(p1), jnp.asarray(p2),
                           jnp.asarray(mask), jax.random.PRNGKey(seed),
                           threshold=reprojection_threshold,
-                          n_iters=n_iters))
+                          n_iters=n_iters, quality=q))
     if int(out["n_inliers"]) < 4:
         return None, None
     H = np.asarray(out["H"], np.float64)
