@@ -20,7 +20,6 @@ Reference flow being reproduced: README.md Training/Evaluation sections
 import argparse
 import json
 import os
-import shutil
 import subprocess
 import sys
 
@@ -334,21 +333,42 @@ def main():
     sh([py, 'cli/benchmark.py', '-y', cfg(EVAL_CFG, 'eval.yaml'),
         '-m', f'{w}/pair-train', '-e', '-o', f'{w}/outputs'])
 
+    # 5b. second homography sweep with the on-device estimator
+    # (prediction: h_estimator: device) — same seeded warp draws, so the
+    # two curves are directly comparable; recorded under
+    # 'homography_device' next to the MAGSAC parity curve
+    sh([py, 'cli/benchmark.py', '-y',
+        cfg(EVAL_CFG.replace('prediction:\n',
+                             'prediction:\n    h_estimator: device\n'),
+            'eval_device.yaml'),
+        '-m', f'{w}/pair-train', '-e', '-o', f'{w}/outputs_device'])
+
     # collect the newest results JSON
     outs = sorted(
         (os.path.join(r, f) for r, _, fs in os.walk(f'{w}/outputs')
          for f in fs if f.endswith('.json')), key=os.path.getmtime)
     assert outs, "benchmark produced no JSON"
     os.makedirs(os.path.dirname(os.path.join(REPO, args.out)), exist_ok=True)
-    shutil.copy(outs[-1], os.path.join(REPO, args.out))
     with open(outs[-1]) as f:
         res = json.load(f)
+    outs_dev = sorted(
+        (os.path.join(r, f) for r, _, fs in os.walk(f'{w}/outputs_device')
+         for f in fs if f.endswith('.json')), key=os.path.getmtime)
+    if outs_dev:
+        with open(outs_dev[-1]) as f:
+            res['homography_device'] = json.load(f).get('homography', {})
+    with open(os.path.join(REPO, args.out), 'w') as f:
+        json.dump(res, f, indent=1)
     print(json.dumps({k: res[k] for k in list(res)[:12]}, indent=1)[:2000])
     print(f"metrics written to {args.out}", flush=True)
 
     hc3 = (res.get('homography', {}).get('2', {})
            .get('h_correctness', {}).get('epsilon_warp_th3'))
     print(f"h-correctness@3px (MAGSAC, reproj th 2): {hc3}", flush=True)
+    hc3_dev = (res.get('homography_device', {}).get('2', {})
+               .get('h_correctness', {}).get('epsilon_warp_th3'))
+    print(f"h-correctness@3px (device RANSAC, reproj th 2): {hc3_dev}",
+          flush=True)
     if args.require_sensitive:
         assert hc3 is not None and 0.0 < hc3 < 1.0, (
             f"registration benchmark is not sensitive: h-correctness@3 = "
