@@ -207,13 +207,15 @@ prediction:
     allow_gpu: true
     num_worker: 0
     batchsize: 1
-    # operating point tuned on the mini corpus (det-threshold sweep on the
-    # cycle-3 model: 0.005 beat 0.015/0.001 on M-score + corner error);
-    # subpixel quadratic-peak refinement (XPoint-TPU extension, off in the
-    # reference-parity default config) attacks the 1px localization floor
-    # that MAGSAC corner error inherits on 256^2 eval crops
+    # operating point tuned on the mini corpus with DETERMINISTIC eval
+    # draws, 3 seeds (det 0.005 beat 0.015/0.001; nms 8 beat 4 on
+    # M-score/NN-mAP). subpixel refinement (XPoint-TPU extension) measured
+    # neutral-to-NEGATIVE on h-correctness here (3-seed mean h@3 0.0052 vs
+    # 0.0156 off; its earlier win was pre-determinism-fix noise) — it
+    # tightens already-good fits (lower avg corner error) but flips a few
+    # borderline registrations, so the committed point keeps it off
     detection_threshold: 0.005
-    subpixel: true
+    subpixel: false
     nms: 8
     topk: 0
     reprojection_threshold: 3
