@@ -167,3 +167,32 @@ def test_descriptor_metrics_sample_threads_h_estimator():
                                   matches_thermal=matches,
                                   h_estimator='device')
     assert s['pts_dist'] < 1.0  # identity pair registers
+
+def test_prosac_quality_sampling_finds_low_ratio_consensus():
+    """With inliers concentrated among the best-quality matches (the real
+    matcher regime), PROSAC-style progressive sampling recovers H at an
+    inlier ratio where uniform sampling with the same small hypothesis
+    budget usually cannot."""
+    rng = np.random.default_rng(11)
+    H_true = np.array([[1.02, 0.05, 6.0],
+                       [-0.03, 0.98, -4.0],
+                       [1e-5, -2e-5, 1.0]])
+    n_in, n_out = 10, 190
+    pts1 = rng.uniform(30, 470, size=(n_in + n_out, 2)).astype(np.float32)
+    ones = np.ones((len(pts1), 1))
+    p = np.concatenate([pts1, ones], 1) @ H_true.T
+    pts2 = (p[:, :2] / p[:, 2:]).astype(np.float32)
+    pts2[:n_in] += rng.normal(0, 0.4, (n_in, 2)).astype(np.float32)
+    pts2[n_in:] = rng.uniform(0, 500, (n_out, 2)).astype(np.float32)
+    # quality: true inliers get the best (lowest) descriptor distances
+    quality = np.empty(len(pts1), np.float32)
+    quality[:n_in] = rng.uniform(0.1, 0.4, n_in)
+    quality[n_in:] = rng.uniform(0.5, 1.5, n_out)
+
+    mask = jnp.ones((len(pts1),), bool)
+    out = ransac_homography(jnp.asarray(pts1), jnp.asarray(pts2), mask,
+                            jax.random.PRNGKey(3), threshold=3.0,
+                            n_iters=256, quality=jnp.asarray(quality))
+    assert corner_error(np.asarray(out["H"]), H_true) < 3.0
+    inl = np.asarray(out["inliers"])
+    assert inl[:n_in].sum() >= 8 and inl[n_in:].sum() <= 3
