@@ -17,6 +17,7 @@ the same caveat as the reference's multi-worker DataLoader.
 """
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -105,9 +106,11 @@ class DataLoader:
 
 class _OrderedPool:
     """Daemon-thread worker pool yielding results by submission sequence
-    number. close() is non-blocking: it stops feeding work and leaves any
-    in-flight __getitem__ to finish (or wedge) in the background without
-    blocking generator teardown or interpreter exit."""
+    number. close() drops queued work, then waits a BOUNDED time for
+    in-flight __getitem__ calls (so an abandoned epoch's builds cannot
+    interleave global-np.random draws or h5py reads with the next epoch's
+    pool), and finally walks away — a worker wedged in native code
+    (cv2/h5py) can delay teardown by at most the timeout, never hang it."""
 
     def __init__(self, fn, workers):
         self._fn = fn
@@ -116,6 +119,7 @@ class _OrderedPool:
         self._results = {}
         self._cv = threading.Condition()
         self._closed = False
+        self._busy = 0
         for i in range(workers):
             threading.Thread(target=self._work, daemon=True,
                              name=f"xpoint-loader-{i}").start()
@@ -129,15 +133,27 @@ class _OrderedPool:
             if item is None:
                 return
             seq, arg = item
+            with self._cv:
+                if self._closed:
+                    self._busy_done()
+                    return
+                self._busy += 1
             try:
                 res = (True, self._fn(arg))
             except BaseException as e:  # propagate to the consumer
                 res = (False, e)
             with self._cv:
-                if self._closed:
-                    return
-                self._results[seq] = res
+                self._busy -= 1
+                closed = self._closed
+                if not closed:
+                    self._results[seq] = res
                 self._cv.notify_all()
+                if closed:
+                    return
+
+    def _busy_done(self):
+        # called with cv held when a closed worker drops its task unrun
+        self._cv.notify_all()
 
     def get(self, seq):
         with self._cv:
@@ -148,10 +164,10 @@ class _OrderedPool:
             raise val
         return val
 
-    def close(self):
+    def close(self, timeout=5.0):
         with self._cv:
             self._closed = True
-        # wake idle workers so they exit; busy ones see _closed afterwards
+        # drop queued-but-unstarted work; wake idle workers so they exit
         while not self._tasks.empty():
             try:
                 self._tasks.get_nowait()
@@ -159,3 +175,13 @@ class _OrderedPool:
                 break
         for _ in range(self._workers):
             self._tasks.put(None)
+        # bounded wait for in-flight builds (normal early-exit: at most
+        # one batch per worker, typically milliseconds; wedged native
+        # code: give up after `timeout` and leave the daemon to it)
+        deadline = time.monotonic() + timeout
+        with self._cv:
+            while self._busy > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(remaining)

@@ -51,6 +51,9 @@ def sample_homography(image_shape, perspective=True, scaling=True, rotation=True
     # reproducible too (an unseeded default_rng() pulls OS entropy and
     # made every eval's warp set different run to run)
     if rng is None:
+        # NOTE: high=2**31 needs int64 legacy randint (Linux/macOS);
+        # changing the bound would change the derived seeds and every
+        # committed seeded metric, so it stays as-is
         rng = np.random.default_rng(np.random.randint(0, 2**31))
 
     def _uniform(lo, hi):
@@ -145,6 +148,9 @@ def sample_homography_corner(image_shape, config, rng=None):
     # reproducible too (an unseeded default_rng() pulls OS entropy and
     # made every eval's warp set different run to run)
     if rng is None:
+        # NOTE: high=2**31 needs int64 legacy randint (Linux/macOS);
+        # changing the bound would change the derived seeds and every
+        # committed seeded metric, so it stays as-is
         rng = np.random.default_rng(np.random.randint(0, 2**31))
     imsize = (image_shape[1], image_shape[0])
     rho = config["rho"]

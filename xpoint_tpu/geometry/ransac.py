@@ -223,6 +223,10 @@ def estimate_homography_device(pts1, pts2, reprojection_threshold=3.0,
         q = np.full((cap,), np.inf, np.float32)
         q[:n] = np.asarray(quality, np.float32).reshape(-1)[:n]
         q = jnp.asarray(q)
+    # cap hypothesis count so the (n_iters, cap) score/gumbel intermediates
+    # stay bounded (~64 MB fp32): big caps get fewer but PROSAC-guided
+    # draws, small caps (the common eval regime, cap <= 512) keep them all
+    n_iters = min(n_iters, max(1024, (1 << 24) // cap))
     # one host fetch for the whole output dict — each extra device->host
     # read costs a tunnel round trip (~25 ms, .claude/skills/verify)
     out = jax.device_get(

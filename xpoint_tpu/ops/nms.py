@@ -222,7 +222,11 @@ def box_nms(prob, size, min_prob, iou=0.1, keep_top_k=0, max_candidates=4096):
     Args:
         prob: (H, W) or (B, H, W) probability heatmap.
         size: box side length (reference 'nms' config, typically 8).
-        min_prob: detection threshold applied before NMS.
+        min_prob: detection threshold applied before NMS. Must be >= 0:
+            suppressed scores are encoded as 0 in the output heatmap (the
+            reference's contract for softmax probabilities), so a negative
+            threshold would re-admit suppressed pixels downstream (the
+            keep-mask layer itself, _grid_nms_keep, is sign-agnostic).
         iou: IoU threshold (reference default 0.1).
         keep_top_k: if > 0, keep only the k highest surviving scores.
         max_candidates: static cap on candidates entering NMS.
@@ -269,6 +273,8 @@ def box_nms_extract(prob, size, min_prob, iou=0.1, k=1024,
     box_nms -> extract_keypoints but without scattering back to the
     full-resolution heatmap and re-running top-k over H*W — the kept
     candidates are already known inside the NMS.
+
+    min_prob must be >= 0 (see box_nms — 0 is the suppressed sentinel).
 
     Returns (keypoints (k, 2) int32, scores (k,), mask (k,)).
     """
