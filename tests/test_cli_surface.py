@@ -1,0 +1,166 @@
+"""CPU smoke tests for the CLI surface (SURVEY 2.28 parity: the reference's
+root scripts). Each entry point runs end to end on tiny data in a
+subprocess with the reference's flags, so argument plumbing, config
+loading, model resolution, and output writing are all pinned — the demo
+CLI has its own metric tests in test_cli_demo.py; the benchmark CLI is
+exercised by tools/full_cycle.py."""
+import os
+import subprocess
+import sys
+
+import h5py
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# PYTHONPATH= : keep the axon PJRT plugin out of subprocesses (tests are
+# CPU-only and must not hang when the TPU tunnel is down — see the verify
+# skill); the repo stays importable via the site-packages .pth
+ENV = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+# the suite conftest forces an 8-device virtual mesh; CLIs here should see
+# a plain single-device environment like a user's shell
+ENV.pop("XLA_FLAGS", None)
+
+
+def run_cli(script, *args, timeout=600):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", script), *args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=ENV)
+    assert r.returncode == 0, (script, r.stdout[-2000:], r.stderr[-2000:])
+    return r
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    """2+2-pair 64^2 corpus in the committed generator's exact format."""
+    d = tmp_path_factory.mktemp("corpus")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_mini_corpus.py"),
+         "--out", str(d), "--n-train", "2", "--n-test", "2", "--size", "64"],
+        check=True, cwd=REPO, env=ENV, capture_output=True, timeout=300)
+    return d
+
+
+@pytest.fixture(scope="module")
+def tiny_kp_file(tiny_corpus, tmp_path_factory):
+    kp_path = tmp_path_factory.mktemp("kp") / "labels.hdf5"
+    rng = np.random.default_rng(0)
+    with h5py.File(tiny_corpus / "test.hdf5", "r") as src, \
+            h5py.File(kp_path, "w") as dst:
+        for name in src:
+            g = dst.create_group(name)
+            g.create_dataset("keypoints_optical",
+                             data=rng.integers(0, 64, (12, 2)).astype("f8"))
+            g.create_dataset("keypoints_thermal",
+                             data=rng.integers(0, 64, (12, 2)).astype("f8"))
+    return kp_path
+
+
+def test_show_image_pair_sample_cli(tiny_corpus, tiny_kp_file, tmp_path):
+    run_cli("show_image_pair_sample.py",
+            "-i", str(tiny_corpus / "test.hdf5"),
+            "-k", str(tiny_kp_file), "-n", "0", "-o", str(tmp_path),
+            timeout=120)
+    assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+
+
+def test_show_keypoints_cli(tiny_corpus, tiny_kp_file, tmp_path):
+    run_cli("show_keypoints.py",
+            "-d", str(tiny_corpus / "test.hdf5"),
+            "-k", str(tiny_kp_file), "-n", "1", "-o", str(tmp_path),
+            timeout=120)
+    assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+
+
+def test_show_synthetic_images_cli(tmp_path):
+    run_cli("show_synthetic_images.py", "-n", "2", "-o", str(tmp_path),
+            timeout=180)
+    assert len([f for f in os.listdir(tmp_path) if f.endswith(".png")]) >= 2
+
+
+def test_download_cli_skips_existing_files(tmp_path):
+    """The resume contract (reference download_multipoint_data.py): an
+    existing target short-circuits without touching the network."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "xdl", os.path.join(REPO, "cli", "download_multipoint_data.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    target = tmp_path / "test.hdf5"
+    target.write_bytes(b"existing")
+    out = mod.download("http://unreachable.invalid/test.hdf5", str(tmp_path))
+    assert out == str(target) and target.read_bytes() == b"existing"
+
+
+@pytest.mark.slow
+def test_train_predict_align_cli_chain(tiny_corpus, tmp_path):
+    """cli/train.py -> cli/predict_keypoints.py -> cli/predict_align
+    on tiny data: the full config/params.yaml/checkpoint contract."""
+    train_yaml = tmp_path / "train.yaml"
+    train_yaml.write_text(f"""
+dataset:
+    type: 'SyntheticShapes'
+    length: 8
+    generation_size: [120, 160]
+    image_size: [64, 64]
+    augmentation:
+        photometric:
+            enable: false
+        homographic:
+            enable: false
+model:
+    type: 'XPoint'
+    multispectral: true
+    descriptor_head: true
+    descriptor_size: 32
+    takes_pair: false
+    homography_regression_head:
+        check: false
+loss:
+    type: 'XPointLoss'
+    detector_loss: true
+    detector_loss_function: 'cross_entropy'
+    detector_handle_multiple_keypoints: 'soft_assignment'
+    descriptor_loss: false
+training:
+    batchsize: 4
+    learningrate: 1e-3
+    n_epochs: 1
+    output_directory: {tmp_path / 'model'}
+    save_every_n_epoch: 0
+    use_writer: false
+""")
+    run_cli("train.py", "-y", str(train_yaml))
+    assert (tmp_path / "model" / "params.yaml").exists()
+    assert (tmp_path / "model" / "latest.ckpt").exists()
+
+    pred_yaml = tmp_path / "pred.yaml"
+    pred_yaml.write_text(f"""
+dataset:
+    type: 'ImagePairDataset'
+    filename: {tiny_corpus / 'test.hdf5'}
+    single_image: false
+    random_pairs: false
+    augmentation:
+        photometric:
+            enable: false
+        homographic:
+            enable: false
+prediction:
+    disable_hmhead: true
+    detection_threshold: 0.015
+    nms: 8
+    reprojection_threshold: 3
+    matching:
+        method: 'bfmatcher'
+        method_kwargs:
+            crossCheck: True
+        knn_matches: False
+""")
+    out_kp = tmp_path / "out_kp"
+    run_cli("predict_keypoints.py", "-y", str(pred_yaml),
+            "-m", str(tmp_path / "model"), "-i", "0", "-o", str(out_kp))
+    out_al = tmp_path / "out_align"
+    r = run_cli("predict_align_image_pair.py", "-y", str(pred_yaml),
+                "-m", str(tmp_path / "model"), "-i", "0", "-o", str(out_al))
+    assert "keypoints:" in r.stdout
