@@ -101,6 +101,11 @@ def ransac_homography(pts1, pts2, mask, rng, threshold=3.0, n_iters=512,
     _, sel = jax.lax.top_k(g, 4)                        # (n_iters, 4)
 
     def fit_one(idx):
+        # NOTE: minimal 4-point fits stay UNnormalized on purpose —
+        # Hartley-normalizing them was measured WORSE on the seeded
+        # 64-pair benchmark (h@4 0.031 -> 0.0); the refinement stage
+        # normalizes its (weighted, non-minimal) refits where
+        # conditioning actually pays
         return fit_homography_dlt(pts1[idx], pts2[idx])
 
     Hs = jax.vmap(fit_one)(sel)                         # (n_iters, 3, 3)
