@@ -27,6 +27,26 @@ def load_eval_setup(args, single_image_override=None):
     if getattr(args, "yaml_variable", None):
         dict_update(config, load_yaml(args.yaml_variable))
 
+    # `-v none` + a host-side baseline model type: build the model straight
+    # from the yaml and skip weight loading, like the reference
+    # (benchmark.py:93 `getattr(models, type)(config)`; :94-96 loads weights
+    # only when version != 'none')
+    if (getattr(args, "version", None) == "none"
+            and (config.get("model") or {}).get("type") == "ClassicDetectors"):
+        from xpoint_tpu.models import get_model
+        from xpoint_tpu.eval.infer import ClassicInference
+
+        model, model_cfg = get_model(config["model"])
+        config["model"] = model_cfg
+        if single_image_override is not None:
+            config.setdefault("dataset", {})["single_image"] = \
+                single_image_override
+        dataset = get_dataset(config["dataset"]) if config.get(
+            "dataset", {}).get("filename") or config.get(
+            "dataset", {}).get("foldername") else None
+        infer = ClassicInference(model, config.get("prediction", {}))
+        return config, model, None, infer, dataset
+
     # reference disables the homography head at eval time when the config
     # asks for it (benchmark.py:50-76, cipdp.yaml 'disable_hmhead')
     override = None

@@ -92,6 +92,65 @@ def test_download_cli_skips_existing_files(tmp_path):
     assert out == str(target) and target.read_bytes() == b"existing"
 
 
+def test_benchmark_classical_baseline_cli(tiny_corpus, tmp_path):
+    """cli/benchmark.py -v none with model.type ClassicDetectors: the
+    reference benchmarks SIFT/LGHD through the same script with weight
+    loading skipped (benchmark.py:93-96); full sweep on 2 tiny pairs."""
+    import json
+    eval_yaml = tmp_path / "classical.yaml"
+    eval_yaml.write_text(f"""
+dataset:
+    type: 'ImagePairDataset'
+    filename: {tiny_corpus / 'test.hdf5'}
+    single_image: false
+    augmentation:
+        photometric:
+            enable: false
+        homographic:
+            enable: true
+            params:
+                translation: true
+                rotation: true
+                scaling: true
+                perspective: true
+                scaling_amplitude: 0.1
+                perspective_amplitude_x: 0.05
+                perspective_amplitude_y: 0.05
+                patch_ratio: 0.90
+                max_angle: 1.57
+                allow_artifacts: true
+            valid_border_margin: 2
+            border_reflect: true
+model:
+    type: 'ClassicDetectors'
+    method: 'SIFT'
+    takes_pair: false
+prediction:
+    allow_gpu: true
+    num_worker: 0
+    batchsize: 1
+    detection_threshold: 0.005
+    nms: 4
+    topk: 0
+    reprojection_threshold: 3
+    matching:
+        method: bfmatcher
+        method_kwargs:
+            crossCheck: True
+        knn_matches: False
+""")
+    run_cli("benchmark.py", "-y", str(eval_yaml), "-m", "none", "-v", "none",
+            "-e", "-o", str(tmp_path / "out"), timeout=600)
+    outs = [f for f in os.listdir(tmp_path / "out") if f.endswith(".json")]
+    assert outs
+    with open(tmp_path / "out" / outs[0]) as f:
+        res = json.load(f)
+    assert set(res) >= {"repeatability", "descriptor", "homography",
+                        "n_kp_optical", "n_kp_thermal"}
+    # SIFT must actually fire on the drawn-primitive images
+    assert sum(res["n_kp_optical"]) > 0
+
+
 @pytest.mark.slow
 def test_train_predict_align_cli_chain(tiny_corpus, tmp_path):
     """cli/train.py -> cli/predict_keypoints.py -> cli/predict_align

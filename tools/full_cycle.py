@@ -227,6 +227,14 @@ prediction:
 """
 
 
+CLASSICAL_MODEL_CFG = """
+model:
+    type: 'ClassicDetectors'
+    method: 'SIFT'
+    takes_pair: false
+"""
+
+
 def sh(cmd, **kw):
     print("+", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True, cwd=REPO, **kw)
@@ -262,6 +270,10 @@ def main():
                          'single-host-core container; different random '
                          'streams than the host path')
     ap.add_argument('--out', default='metrics/mini_corpus_metrics.json')
+    ap.add_argument('--classical', action='store_true',
+                    help='also run the SIFT ClassicDetectors baseline over '
+                         'the identical eval protocol (cv2-host, no '
+                         'weights) and write <out>_classical.json')
     ap.add_argument('--require-sensitive', action='store_true',
                     help='fail unless h-correctness@3 (MAGSAC, reproj th 2 '
                          'sweep, evaluation.py:368-393) lands strictly '
@@ -334,6 +346,26 @@ def main():
     # 5. evaluation sweep (reference benchmark.py -e JSON schema)
     sh([py, 'cli/benchmark.py', '-y', cfg(EVAL_CFG, 'eval.yaml'),
         '-m', f'{w}/pair-train', '-e', '-o', f'{w}/outputs'])
+
+    # 5a. classical baseline over the SAME protocol (same test split, same
+    # seed-0 warp draws, same prediction operating point, `-v none` model
+    # construction like reference benchmark.py:93-96): calibrates corpus
+    # difficulty and anchors the learned model's numbers against SIFT
+    if args.classical:
+        sh([py, 'cli/benchmark.py', '-y',
+            cfg(EVAL_CFG + CLASSICAL_MODEL_CFG, 'eval_classical.yaml'),
+            '-m', 'none', '-v', 'none', '-e', '-o', f'{w}/outputs_classical'])
+        outs_cls = sorted(
+            (os.path.join(r, f)
+             for r, _, fs in os.walk(f'{w}/outputs_classical')
+             for f in fs if f.endswith('.json')), key=os.path.getmtime)
+        if outs_cls:
+            cls_out = os.path.join(
+                REPO, args.out.replace('.json', '_classical.json'))
+            os.makedirs(os.path.dirname(cls_out), exist_ok=True)
+            with open(outs_cls[-1]) as f_in, open(cls_out, 'w') as f_out:
+                f_out.write(f_in.read())
+            print(f"classical baseline written to {cls_out}", flush=True)
 
     # 5b. second homography sweep with the on-device estimator
     # (prediction: h_estimator: device) — same seeded warp draws, so the

@@ -31,22 +31,27 @@ class XPointInference:
         self.subpixel = bool(self.cfg.get('subpixel', False))
         self._refine = jax.jit(refine_keypoints_subpixel)
         self.max_kp = max_kp
-        self.ratio = module.encoder_downsample_ratio
+        # module is None for host-side baseline models (ClassicInference):
+        # they bring their own forward; everything below (nms, descriptor
+        # sampling, matching) is shared so the metric pipeline is identical
+        if module is not None:
+            self.ratio = module.encoder_downsample_ratio
 
-        @jax.jit
-        def _forward_pair(variables, img_o, img_t):
-            pred_o, pred_t, pred_hm = module.apply(
-                variables, img_o, img_t, method=module.forward_pair)
-            return (prob_from_logits(pred_o['logits'], self.ratio),
-                    prob_from_logits(pred_t['logits'], self.ratio),
-                    pred_o['desc'], pred_t['desc'], pred_hm)
-        self._forward_pair = _forward_pair
+            @jax.jit
+            def _forward_pair(variables, img_o, img_t):
+                pred_o, pred_t, pred_hm = module.apply(
+                    variables, img_o, img_t, method=module.forward_pair)
+                return (prob_from_logits(pred_o['logits'], self.ratio),
+                        prob_from_logits(pred_t['logits'], self.ratio),
+                        pred_o['desc'], pred_t['desc'], pred_hm)
+            self._forward_pair = _forward_pair
 
-        @jax.jit
-        def _forward_single(variables, img, is_optical):
-            pred = module.apply(variables, img, "mixed", is_optical)
-            return (prob_from_logits(pred['logits'], self.ratio), pred['desc'])
-        self._forward_single = _forward_single
+            @jax.jit
+            def _forward_single(variables, img, is_optical):
+                pred = module.apply(variables, img, "mixed", is_optical)
+                return (prob_from_logits(pred['logits'], self.ratio),
+                        pred['desc'])
+            self._forward_single = _forward_single
 
         nms_size = self.cfg['nms']
         thr = float(self.cfg['detection_threshold'])
@@ -218,3 +223,48 @@ class XPointInference:
             return [(int(i), int(j), float(dmat[i, j]))
                     for i, j in zip(ii, jj)]
         return matches_to_list(*out)
+
+
+class ClassicInference(XPointInference):
+    """Benchmark adapter for the classical baselines (SIFT/SURF/LGHD/RIFT2).
+
+    The reference runs ClassicDetectors through the SAME benchmark script
+    as the learned models (`getattr(models, type)(config)`, reference
+    benchmark.py:93, with `-v none` skipping weight loading, :94-96); this
+    is the equivalent hook. The forward is the host-side cv2 model (sparse
+    prob/desc maps); NMS, descriptor sampling, matching, and every metric
+    downstream reuse XPointInference's device programs unchanged, so
+    baseline and learned-model numbers are produced by byte-identical
+    metric code.
+    """
+
+    def __init__(self, model, prediction_config=None, max_kp=4096):
+        super().__init__(None, None, prediction_config, max_kp)
+        self.model = model
+
+    def takes_pair(self):
+        return bool(self.model.takes_pair())
+
+    # timing-harness hook: same positional surface as the jitted program
+    # (variables ignored — the model is host-side state)
+    def _forward_pair(self, variables, img_o, img_t):
+        out_o = self.model({'image': np.asarray(img_o)})
+        out_t = self.model({'image': np.asarray(img_t)})
+        desc_o, desc_t = out_o['desc'], out_t['desc']
+        # a side with zero detections returns a depth-1 placeholder plane
+        # (models/classic.py); pad so the descriptor metrics see one depth
+        if desc_o.shape[-1] != desc_t.shape[-1]:
+            depth = max(desc_o.shape[-1], desc_t.shape[-1])
+
+            def _pad(d):
+                return np.pad(d, [(0, 0)] * (d.ndim - 1)
+                              + [(0, depth - d.shape[-1])])
+            desc_o, desc_t = _pad(desc_o), _pad(desc_t)
+        return (out_o['prob'], out_t['prob'], desc_o, desc_t, None)
+
+    def forward_pair(self, img_o, img_t):
+        return list(self._forward_pair(None, img_o, img_t))
+
+    def forward_single(self, img, is_optical):
+        out = self.model({'image': np.asarray(img)})
+        return [out['prob'], out['desc']]
