@@ -263,6 +263,11 @@ def main():
                          'exist — sound when iterating only on the '
                          'pair-training recipe (the labels depend on the '
                          'corpus + synth detector, which are unchanged)')
+    ap.add_argument('--reuse-corpus', action='store_true',
+                    help='skip corpus generation when {work}/corpus already '
+                         'holds both splits (pre-generated on the host '
+                         'while the chip was busy) — HA export and pair '
+                         'training still run fresh')
     ap.add_argument('--device-data', action='store_true',
                     help='pair training with the corpus resident in HBM and '
                          'augmentation inside the jitted step '
@@ -297,6 +302,9 @@ def main():
     reuse_labels = (args.reuse_labels
                     and os.path.isdir(f'{w}/corpus')
                     and os.path.exists(f'{w}/labels.hdf5'))
+    reuse_corpus = (args.reuse_corpus
+                    and os.path.exists(f'{w}/corpus/training.hdf5')
+                    and os.path.exists(f'{w}/corpus/test.hdf5'))
     # 1. corpus
     if reuse_labels:
         print(f"+ reusing corpus + labels in {w} "
@@ -304,6 +312,8 @@ def main():
         sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
             '--n-test', str(args.n_test), '--size', str(args.size),
             '--splits', 'test'])
+    elif reuse_corpus:
+        print(f"+ reusing pre-generated corpus in {w}/corpus", flush=True)
     else:
         sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
             '--n-train', str(args.n_train), '--n-test', str(args.n_test),
