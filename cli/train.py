@@ -18,6 +18,11 @@ def main():
                         help='Cap steps per epoch (debug)')
     parser.add_argument('--resume', action='store_true',
                         help='Resume from latest checkpoint in the output dir')
+    parser.add_argument('-w', '--weight-file', default=None,
+                        help='Checkpoint file (.ckpt orbax or reference '
+                             '.model/.pth torch) to initialize the weights '
+                             'from — the fine-tuning entry point (reference '
+                             'train.py:21,75-84, strict=False semantics)')
     args = parser.parse_args()
 
     from xpoint_tpu.config import load_yaml
@@ -27,6 +32,8 @@ def main():
     out_dir = args.output_directory or config['training']['output_directory']
 
     trainer = Trainer(config, out_dir)
+    if args.weight_file:
+        trainer.load_weights(args.weight_file)
     if args.resume:
         epoch = trainer.resume()
         print(f"resumed from epoch {epoch}")

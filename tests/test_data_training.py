@@ -167,6 +167,56 @@ def test_training_loss_decreases_on_synthetic(tmp_path):
     assert epoch == 2
 
 
+def test_load_weights_finetune_init(tmp_path):
+    """Fine-tune bootstrap (reference train.py -w, :75-84 strict=False):
+    weights from a trained checkpoint initialize a fresh Trainer exactly
+    where paths+shapes match, tolerate extra/missing keys, and reset the
+    optimizer."""
+    import jax
+    from xpoint_tpu.trainer import Trainer
+    config = {
+        'dataset': dict(SYNTH_CFG, type='SyntheticShapes', length=8),
+        'model': {'type': 'XPoint', 'multispectral': True,
+                  'descriptor_head': False,
+                  'homography_regression_head': {'check': False}},
+        'loss': {'type': 'XPointLoss', 'detector_loss': True,
+                 'descriptor_loss': False,
+                 'detector_loss_function': 'cross_entropy',
+                 'detector_handle_multiple_keypoints': 'soft_assignment'},
+        'training': {'batchsize': 4, 'learningrate': 1e-3, 'n_epochs': 1,
+                     'save_every_n_epoch': 1, 'use_writer': False},
+    }
+    trainer = Trainer(config, str(tmp_path / "base"), n_devices=2)
+    trainer.train(n_epochs=1, max_steps_per_epoch=2)
+
+    tuner = Trainer(config, str(tmp_path / "ft"), n_devices=2)
+    before = jax.tree.leaves(tuner.state.params)[0].copy()
+    stats = tuner.load_weights(str(tmp_path / "base" / "latest.ckpt"))
+    n_leaves = len(jax.tree.leaves(tuner.state.params))
+    assert stats['used'] == n_leaves + len(
+        jax.tree.leaves(tuner.state.batch_stats or {}))
+    assert stats['missing'] == 0 and stats['shape'] == 0
+    # params actually replaced by the trained ones
+    for got, want in zip(jax.tree.leaves(tuner.state.params),
+                         jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert not np.array_equal(np.asarray(
+        jax.tree.leaves(tuner.state.params)[0]), np.asarray(before))
+    assert int(tuner.state.step) == 0  # optimizer/step start fresh
+
+    # strict=False tolerance: a checkpoint from a model WITH the descriptor
+    # head loads into one without it (extra tensors ignored, not fatal)
+    cfg_desc = {**config, 'model': {**config['model'],
+                                    'descriptor_head': True,
+                                    'descriptor_size': 32}}
+    big = Trainer(cfg_desc, str(tmp_path / "big"), n_devices=2)
+    big.train(n_epochs=1, max_steps_per_epoch=1)
+    tuner2 = Trainer(config, str(tmp_path / "ft2"), n_devices=2)
+    stats2 = tuner2.load_weights(str(tmp_path / "big" / "latest.ckpt"))
+    assert stats2['unexpected'] > 0 and stats2['used'] > 0
+    assert stats2['missing'] == 0
+
+
 def test_scheduler_lr_matches_torch_exactly():
     """LR after k epochs equals torch StepLR/ExponentialLR exactly — and is
     driven by the true epoch counter, so --max-steps / resume cannot drift

@@ -214,6 +214,74 @@ class Trainer:
         print(f"loaded pretrained encoder weights from {path}", flush=True)
         return variables
 
+    def load_weights(self, path):
+        """Initialize training from an existing checkpoint file — the
+        fine-tuning entry point (reference train.py -w/--weight-file,
+        :75-84: torch.load + load_state_dict(strict=False)).
+
+        Accepts an orbax checkpoint (<name>.ckpt) or a reference torch
+        checkpoint (.model/.pth/.pt, converted on load). strict=False
+        semantics: every leaf whose path and shape match the freshly
+        initialized model is taken from the file; everything else keeps
+        its init, and the missing/unexpected counts are reported like
+        torch's. The optimizer state starts fresh, as in the reference
+        (its optimizer is constructed after the load, train.py:180-192).
+        """
+        if path.endswith('.ckpt'):
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as cp:
+                restored = cp.restore(os.path.abspath(path))
+            loaded = {'params': restored['params']}
+            if restored.get('batch_stats'):
+                loaded['batch_stats'] = restored['batch_stats']
+        else:
+            from .compat import load_torch_checkpoint
+            loaded = load_torch_checkpoint(path, self.module, self.model_cfg)
+
+        stats = {'used': 0, 'missing': 0, 'unexpected': 0, 'shape': 0}
+
+        def merge(init, new, where):
+            if not isinstance(init, dict):
+                # leaf in the init tree
+                if isinstance(new, dict):
+                    stats['unexpected'] += 1
+                    return init
+                if jnp.shape(new) != jnp.shape(init):
+                    stats['shape'] += 1
+                    print(f"  shape mismatch at {where}: "
+                          f"{jnp.shape(new)} vs {jnp.shape(init)} (kept init)",
+                          flush=True)
+                    return init
+                stats['used'] += 1
+                return jnp.asarray(new)
+            out = {}
+            for k, v in init.items():
+                if isinstance(new, dict) and k in new:
+                    out[k] = merge(v, new[k], f"{where}/{k}")
+                else:
+                    stats['missing'] += sum(
+                        1 for _ in jax.tree.leaves(v))
+                    out[k] = v
+            if isinstance(new, dict):
+                for k in new:
+                    if k not in init:
+                        stats['unexpected'] += sum(
+                            1 for _ in jax.tree.leaves(new[k]))
+            return out
+
+        init_vars = {'params': self.state.params}
+        if self.state.batch_stats is not None:
+            init_vars['batch_stats'] = self.state.batch_stats
+        merged = merge(init_vars, loaded, '')
+        self.state = TrainState.create(
+            merged['params'], merged.get('batch_stats'), self.tx,
+            lr=(self.lr_at_epoch(0) if self.lr_at_epoch else None))
+        print(f"initialized weights from {path}: {stats['used']} tensors "
+              f"loaded, {stats['missing']} missing (kept init), "
+              f"{stats['unexpected']} unexpected (ignored), "
+              f"{stats['shape']} shape mismatches", flush=True)
+        return stats
+
     def resume(self, name='latest'):
         restored, epoch = ckpt.restore(self.output_dir, self.state, name)
         if restored is not None:
