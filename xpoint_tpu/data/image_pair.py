@@ -298,7 +298,7 @@ class ImagePairDataset:
             ph = M @ np.array([[p[0]], [p[1]], [1.0]])
             # NOTE: the reference does NOT divide by the homogeneous coord
             # (ImagePairDataset.py:451-453); kept for label parity.
-            perturbed.append([int(ph[0]), int(ph[1])])
+            perturbed.append([int(ph[0, 0]), int(ph[1, 0])])
         hfour = np.subtract(np.array(perturbed), np.array(four_points))
 
         xs = [p[0] for p in four_points]
