@@ -25,6 +25,13 @@ def main():
     parser.add_argument('-yv', '--yaml-variable', default=None)
     parser.add_argument('-o', '--output_dir', default='outputs')
     parser.add_argument('--max-samples', default=None, type=int)
+    # accepted-but-unused upstream too (reference benchmark.py:40-41 — the
+    # metric sweep hardcodes the 1..10 grids, :133-136); kept so existing
+    # invocation scripts don't break
+    parser.add_argument('-t', dest='threshold', default=3, type=int,
+                        help=argparse.SUPPRESS)
+    parser.add_argument('-mask', dest='mask', action='store_true',
+                        help=argparse.SUPPRESS)
     args = parser.parse_args()
     set_seeds(args.seed)
 
