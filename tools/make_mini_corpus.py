@@ -17,11 +17,13 @@ sample with 'optical'/'thermal' float images in [0, 1]).
 """
 import argparse
 import os
+import sys
 
 import numpy as np
 import h5py
 import cv2
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from xpoint_tpu.data import draw_primitives as dp
 
 

@@ -24,8 +24,11 @@ chip (serialize vs tests/bench — see .claude/skills/verify/SKILL.md).
 """
 import json
 import os
+import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax

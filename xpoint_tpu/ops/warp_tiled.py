@@ -197,7 +197,7 @@ def _warp_one_pallas(img_pad, Hinv, ny, nx, tile, pad, mode, win):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, T), lambda ty, tx, *_: (ty * nx + tx, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, C, T, T),
                                lambda ty, tx, *_: (ty, tx, 0, 0, 0),
@@ -280,13 +280,19 @@ def _warp_one(img_pad, Hinv, ny, nx, tile, pad, mode, win=None):
         # pass 1 (contract src rows): ys along dst row t at src column u
         ys = (ys0 - oy_w)[:, None] + m_t[:, None] * (
             u_i[None, :] + ox_w - xs0[:, None])               # (T, win)
+        # HIGHEST precision: at DEFAULT these contractions run on the MXU
+        # with bf16-truncated hat weights (TPU), shifting sampled values by
+        # up to ~6e-3 vs the Pallas kernel's f32 VPU reduce (same issue as
+        # the elementwise Q @ Hinv compose below)
         w1 = kern(ys[:, None, :] - p_i[None, :, None])        # (T, p, u)
-        tmp = jnp.einsum("tpu,puc->tuc", w1, winv)             # (T, win, C)
+        tmp = jnp.einsum("tpu,puc->tuc", w1, winv,
+                         precision=jax.lax.Precision.HIGHEST)  # (T, win, C)
 
         # pass 2 (contract src cols): exact xs per dst pixel
         xs, _ = src_xy(ox + x_i[None, :], oy + t_i[:, None])   # (T, T)
         w2 = kern(xs[:, :, None] - ox_w - u_i[None, None, :])  # (T, T, win)
-        out_t = jnp.einsum("txu,tuc->txc", w2, tmp)            # (T, T, C)
+        out_t = jnp.einsum("txu,tuc->txc", w2, tmp,
+                          precision=jax.lax.Precision.HIGHEST)  # (T, T, C)
         return carry, out_t
 
     # unroll: the per-iteration while-loop overhead (~16 us: buffer swaps,
