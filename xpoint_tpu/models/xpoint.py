@@ -172,31 +172,23 @@ class XPointNet(nn.Module):
         encoders and random_pairs spectrum shuffling, per-sample
         is_optical_o/is_optical_t masks route each sample through the right
         encoder (reference XPoint.py:283-305)."""
-        if (not self.multispectral and not train
-                and is_optical_o is None and is_optical_t is None):
-            # shared-encoder eval: ONE forward of the stacked batch instead
-            # of two half-size passes — identical math (BN uses running
-            # stats in eval mode), half the per-op fixed costs. Training
-            # keeps two passes: train-mode BatchNorm statistics are
-            # per-forward in the reference (XPoint.py:186-214).
-            B = optical_image.shape[0]
-            both = jnp.concatenate([optical_image, thermal_image], axis=0)
-            pred = self.forward_impl(both, "optical", train=False)
-            pred_o = {k: v[:B] for k, v in pred.items()}
-            pred_t = {k: v[B:] for k, v in pred.items()}
+        # Always two passes, even for a shared encoder in eval: stacking
+        # optical+thermal into one 2B forward measured SLOWER on device
+        # (38.0 vs 36.6 ms/batch @512^2 B=8, flagship VMamba — the larger
+        # program schedules worse than two overlapped half-size programs;
+        # docs/TPU_NOTES.md "Stacking independent half-batches").
+        if self.multispectral and is_optical_o is not None:
+            pred_o = self.forward_impl(optical_image, "mixed",
+                                       is_optical_o, train=train)
         else:
-            if self.multispectral and is_optical_o is not None:
-                pred_o = self.forward_impl(optical_image, "mixed",
-                                           is_optical_o, train=train)
-            else:
-                pred_o = self.forward_impl(optical_image, "optical",
-                                           train=train)
-            if self.multispectral and is_optical_t is not None:
-                pred_t = self.forward_impl(thermal_image, "mixed",
-                                           is_optical_t, train=train)
-            else:
-                pred_t = self.forward_impl(thermal_image, "thermal",
-                                           train=train)
+            pred_o = self.forward_impl(optical_image, "optical",
+                                       train=train)
+        if self.multispectral and is_optical_t is not None:
+            pred_t = self.forward_impl(thermal_image, "mixed",
+                                       is_optical_t, train=train)
+        else:
+            pred_t = self.forward_impl(thermal_image, "thermal",
+                                       train=train)
         pred_hm = None
         if self.hm_head == "RegNet":
             pred_hm = self.hm_regressor(pred_o["encoder_output"],
