@@ -169,6 +169,11 @@ training:
     learningrate: {pair_lr}
     n_epochs: {pair_epochs}
     device_data: {device_data}
+    scheduler:
+        use_scheduler: {use_sched}
+        type: 'StepLR'
+        gamma: {sched_gamma}
+        step_size: {sched_step}
     output_directory: {work}/pair-train
     save_every_n_epoch: 0
     use_writer: false
@@ -250,6 +255,11 @@ def main():
     ap.add_argument('--synth-samples', type=int, default=1500)
     ap.add_argument('--pair-epochs', type=int, default=600)
     ap.add_argument('--pair-lr', default='3e-4')
+    ap.add_argument('--pair-sched-gamma', type=float, default=None,
+                    help='enable a StepLR decay on pair training: multiply '
+                         'the lr by this factor every --pair-sched-step '
+                         'epochs (reference train.py scheduler semantics)')
+    ap.add_argument('--pair-sched-step', type=int, default=600)
     ap.add_argument('--ha-num', type=int, default=50)
     ap.add_argument('--reuse-synth', default=None,
                     help='path to an existing synthetic-pretrain output dir '
@@ -352,6 +362,10 @@ def main():
     sh([py, 'cli/train.py', '-y',
         cfg(PAIR_CFG, 'pair.yaml', pair_epochs=args.pair_epochs,
             pair_lr=args.pair_lr,
+            use_sched=str(args.pair_sched_gamma is not None).lower(),
+            sched_gamma=(args.pair_sched_gamma
+                         if args.pair_sched_gamma is not None else 1.0),
+            sched_step=args.pair_sched_step,
             device_data=str(bool(args.device_data)).lower())])
     # 5. evaluation sweep (reference benchmark.py -e JSON schema)
     sh([py, 'cli/benchmark.py', '-y', cfg(EVAL_CFG, 'eval.yaml'),
