@@ -24,3 +24,12 @@ else:
 
     jax.config.update("jax_platforms", "cpu")
     assert jax.default_backend() == "cpu", jax.default_backend()
+
+    # Persistent compilation cache shared with __graft_entry__'s dryrun:
+    # XLA-CPU compiles of the larger test models dominate suite wall time
+    # on this 1-core container; repeat runs hit the cache and skip them.
+    _cache = os.environ.get("XPOINT_JAX_CACHE", "/tmp/xpoint_jax_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -16,7 +16,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # PYTHONPATH= : keep the axon PJRT plugin out of subprocesses (tests are
 # CPU-only and must not hang when the TPU tunnel is down — see the verify
 # skill); the repo stays importable via the site-packages .pth
-ENV = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+ENV = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+           # share the suite's persistent compilation cache (conftest.py):
+           # each CLI subprocess otherwise re-pays its XLA-CPU compiles
+           XPOINT_JAX_CACHE=os.environ.get("XPOINT_JAX_CACHE",
+                                           "/tmp/xpoint_jax_cache"))
 # the suite conftest forces an 8-device virtual mesh; CLIs here should see
 # a plain single-device environment like a user's shell
 ENV.pop("XLA_FLAGS", None)

@@ -55,6 +55,37 @@ def test_sharded_pipeline_matches_single_device():
                                    atol=1e-5, rtol=1e-5, err_msg=key)
 
 
+def test_sharded_pipeline_no_collectives():
+    """The serving pipeline's claim (eval/pipeline.py): every stage is
+    per-sample and runs under shard_map, so the compiled program has ZERO
+    cross-chip collectives. Audit the compiled HLO so a regression (an
+    accidental batch-axis reduction, an explicit collective, or a fall
+    back to GSPMD partitioning — which inserts an all-reduce per NMS
+    while-iteration and all-gathers around TopK) fails loudly instead of
+    silently serializing the mesh."""
+    module, variables = _tiny_model()
+    mesh = make_mesh(8)
+    sharded = make_sharded_pair_pipeline(module, (64, 64), mesh, k=64,
+                                         nms_size=4,
+                                         detection_threshold=1e-4)
+
+    img = jax.device_put(
+        jnp.zeros((8, 64, 64, 1), jnp.float32), sharded.data_sharding)
+    variables = jax.tree.map(
+        lambda x: jax.device_put(x, sharded.replicated_sharding), variables)
+    keys = jax.device_put(jax.random.split(jax.random.PRNGKey(0), 8),
+                          sharded.data_sharding)
+    hlo = (sharded.sharded_program.lower(variables, img, img, keys)
+           .compile().as_text())
+
+    banned = ("all-reduce", "all-gather", "collective-permute",
+              "reduce-scatter", "all-to-all")
+    hits = [b for b in banned if b in hlo]
+    assert not hits, (
+        f"sharded serving pipeline compiled with cross-chip collectives "
+        f"{hits} — the per-sample partitioning claim is broken")
+
+
 def test_sharded_pipeline_with_ransac():
     """The on-device registration tail (batched DLT+RANSAC) shards with
     the rest of the program. An identity pair (thermal == optical) makes

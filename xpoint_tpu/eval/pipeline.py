@@ -59,9 +59,12 @@ def make_pair_pipeline(module, image_shape, k=1024, nms_size=8,
 
         extra = {}
         if estimate_homography:
-            keys = jax.random.split(
-                rng if rng is not None else jax.random.PRNGKey(0),
-                kps_o.shape[0])
+            r = rng if rng is not None else jax.random.PRNGKey(0)
+            # accept either one key (split per sample here) or pre-split
+            # per-sample keys (B, 2) — the sharded wrapper pre-splits so
+            # each mesh shard consumes exactly the keys the single-device
+            # program would have used for its samples
+            keys = r if r.ndim == 2 else jax.random.split(r, kps_o.shape[0])
             # matched point pairs in (x, y): query kp -> its NN in thermal
             p1 = jnp.flip(kps_o.astype(jnp.float32), -1)
             p2 = jnp.flip(jnp.take_along_axis(
@@ -94,31 +97,56 @@ def make_sharded_pair_pipeline(module, image_shape, mesh, **kw):
 
     The reference's only inference parallelism is torch DataParallel
     scatter/gather (export_keypoints.py:151-154). Here the SAME fused
-    program as make_pair_pipeline runs with the batch axis sharded over
-    the mesh: every stage (two forwards, NMS, descriptor sampling,
-    matching, optional RANSAC) is per-sample, so GSPMD partitions the
-    whole chain with zero cross-chip collectives — throughput scales
-    linearly in chips until the host fetch.
+    program as make_pair_pipeline runs under shard_map: each device
+    executes the single-device program on its local batch slice, so
+    cross-chip collectives are impossible BY CONSTRUCTION — not just by
+    GSPMD's grace. (Letting GSPMD partition the jit program instead was
+    measured to insert an all-reduce per NMS while-iteration — a global
+    loop-exit agreement — plus all-gathers around the unpartitionable
+    TopK custom-call; shard_map keeps the NMS fixed-point loop and top-k
+    local to each shard. Guarded by
+    tests/test_parallel_inference.py::test_sharded_pipeline_no_collectives.)
 
     Returns fn(variables, img_o, img_t[, rng]). The batch size must be a
     multiple of the mesh size. Variables are replicated and inputs
     batch-sharded on entry (a no-op for arrays already placed, so
-    repeated calls pay no re-transfer).
+    repeated calls pay no re-transfer). RANSAC keys are pre-split per
+    sample, so per-sample outputs are identical to the single-device
+    program.
     """
     from jax.sharding import NamedSharding, PartitionSpec
     from ..parallel.mesh import DATA_AXIS
 
     base = make_pair_pipeline(module, image_shape, **kw)
-    data = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
-    repl = NamedSharding(mesh, PartitionSpec())
+    P = PartitionSpec
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    # check_vma=False: the varying-manual-axes analysis rejects lax.scan
+    # carries initialized from unvarying constants (the VSSM selective-scan
+    # h0), which is sound here — every output is per-sample by out_specs
+    local = jax.shard_map(
+        lambda v, a, b, keys: base(v, a, b, keys),
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS), check_vma=False)
+    sharded_program = jax.jit(local)
 
     def run(variables, img_o, img_t, rng=None):
         variables = jax.tree.map(lambda x: jax.device_put(x, repl),
                                  variables)
         img_o = jax.device_put(jnp.asarray(img_o), data)
         img_t = jax.device_put(jnp.asarray(img_t), data)
-        if rng is None:
-            return base(variables, img_o, img_t)
-        return base(variables, img_o, img_t, jax.device_put(rng, repl))
+        keys = jax.device_put(jax.random.split(
+            rng if rng is not None else jax.random.PRNGKey(0),
+            img_o.shape[0]), data)
+        return sharded_program(variables, img_o, img_t, keys)
 
+    # exposed for tests: the shard-mapped program + placements, so the
+    # compiled HLO can be audited for accidental cross-chip collectives
+    # (tests/test_parallel_inference.py::test_sharded_pipeline_no_collectives)
+    run.base = base
+    run.sharded_program = sharded_program
+    run.data_sharding = data
+    run.replicated_sharding = repl
     return run
