@@ -53,8 +53,28 @@ def load_eval_setup(args, single_image_override=None):
     if (config.get("prediction", {}) or {}).get("disable_hmhead"):
         override = {"homography_regression_head": {"check": False}}
 
-    module, variables, model_cfg = load_model(args.model_dir, args.version,
-                                              model_override=override)
+    if (getattr(args, "version", None) == "none"
+            and getattr(args, "model_dir", None) in (None, "none")
+            and config.get("model")):
+        # `-m none -v none` + a model section in the yaml: build the model
+        # from the config with fresh random weights — the reference skips
+        # weight loading for ANY model type when version == 'none'
+        # (benchmark.py:93-96), not just the classical baselines
+        import copy as _copy
+        import jax
+        import jax.numpy as jnp
+        from xpoint_tpu.models import build_xpoint
+        model_cfg = _copy.deepcopy(config["model"])
+        if override:
+            dict_update(model_cfg, override)
+        module, model_cfg = build_xpoint(model_cfg)
+        variables = jax.jit(lambda r: module.init(
+            r, jnp.zeros((1, 64, 64, 1), jnp.float32),
+            method=module.init_all))(jax.random.PRNGKey(0))
+    else:
+        module, variables, model_cfg = load_model(args.model_dir,
+                                                  args.version,
+                                                  model_override=override)
     config["model"] = model_cfg
 
     if single_image_override is not None:

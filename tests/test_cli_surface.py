@@ -155,6 +155,182 @@ prediction:
     assert sum(res["n_kp_optical"]) > 0
 
 
+FIXTURE = os.path.join(REPO, "tests", "data", "multipoint_micro.hdf5")
+
+
+def test_multipoint_fixture_layout_matches_reference_loader():
+    """The committed micro-fixture must be read byte-identically by the
+    ACTUAL reference loader (ImagePairDataset.py:184-197) and by ours —
+    including the thermal_raw selection and the optical-only fallback
+    (thermal = optical.copy()) — so the day the real MULTIPOINT corpus
+    lands, nothing in the data path needs debugging."""
+    from reference_oracle import get_reference
+    ref = get_reference()
+    from xpoint.datasets.ImagePairDataset import ImagePairDataset as RefDS
+    from xpoint_tpu.data.image_pair import ImagePairDataset as OurDS
+
+    for raw in (False, True):
+        cfg = {"filename": FIXTURE, "single_image": False,
+               "raw_thermal": raw, "height": -1, "width": -1,
+               "augmentation": {"photometric": {"enable": False},
+                                "homographic": {"enable": False}}}
+        rds = RefDS(dict(cfg))
+        ods = OurDS(dict(cfg))
+        assert rds.memberslist == ods.memberslist
+        for i, name in enumerate(rds.memberslist):
+            if raw and "thermal_raw" not in h5py.File(FIXTURE)[name] \
+                    and "thermal" in h5py.File(FIXTURE)[name]:
+                continue        # both loaders would KeyError identically
+            r = rds[i]
+            o = ods[i]
+            # reference emits (1, H, W) torch tensors; ours (H, W, 1) numpy
+            np.testing.assert_array_equal(
+                np.asarray(r["optical"]["image"])[0],
+                o["optical"]["image"][..., 0], err_msg=f"{name} optical")
+            np.testing.assert_array_equal(
+                np.asarray(r["thermal"]["image"])[0],
+                o["thermal"]["image"][..., 0], err_msg=f"{name} thermal")
+    del ref
+
+
+@pytest.mark.slow
+def test_multipoint_fixture_export_train_benchmark_chain(tmp_path):
+    """Reference workflow (README Training/Evaluation) against the
+    MULTIPOINT-layout fixture: HA label export -> pair training with the
+    exported labels -> registration benchmark, all through the CLIs."""
+    import json
+    model_block = """
+model:
+    type: 'XPoint'
+    multispectral: false
+    descriptor_head: true
+    descriptor_size: 32
+    channel_version: 2
+    takes_pair: true
+    spectral_norm_stats: true
+    homography_regression_head:
+        check: false
+"""
+    export_yaml = tmp_path / "export.yaml"
+    export_yaml.write_text(f"""
+dataset:
+    type: 'ImagePairDataset'
+    filename: {FIXTURE}
+    single_image: false
+    augmentation:
+        photometric:
+            enable: false
+        homographic:
+            enable: false
+prediction:
+    allow_gpu: true
+    num_worker: 0
+    batchsize: 1
+    detection_threshold: 0.015
+    nms: 4
+    reprojection_threshold: 3
+homographic_adaptation:
+    num: 2
+    aggregation: 'window'
+    min_count: 1
+    erosion_radius: 2
+    mask_border: true
+    homographies:
+        translation: true
+        rotation: true
+        scaling: true
+        perspective: true
+""" + model_block)
+    labels = tmp_path / "labels.hdf5"
+    run_cli("export_keypoints.py", "-y", str(export_yaml),
+            "-o", str(labels), "-m", "none", "-v", "none")
+    with h5py.File(labels) as lf:
+        assert set(lf.keys()) == {"1566481721_4806340", "1566481725_1093750",
+                                  "1566481719_0312500"}
+        for g in lf.values():
+            assert "keypoints_optical" in g and "keypoints_thermal" in g
+
+    train_yaml = tmp_path / "train.yaml"
+    train_yaml.write_text(f"""
+dataset:
+    type: 'ImagePairDataset'
+    filename: {FIXTURE}
+    keypoints_filename: {labels}
+    single_image: false
+    random_pairs: false
+    height: 64
+    width: 64
+    augmentation:
+        photometric:
+            enable: false
+        homographic:
+            enable: true
+            params:
+                translation: true
+                rotation: true
+            valid_border_margin: 0
+            border_reflect: true
+""" + model_block + f"""
+loss:
+    type: 'XPointLoss'
+    detector_loss: true
+    detector_loss_function: 'cross_entropy'
+    detector_handle_multiple_keypoints: 'soft_assignment'
+    descriptor_loss: true
+    descriptor_loss_threshold: 4.0
+    lambda: 1.0
+training:
+    batchsize: 3
+    learningrate: 1e-3
+    n_epochs: 1
+    output_directory: {tmp_path / 'model'}
+    save_every_n_epoch: 0
+    use_writer: false
+""")
+    run_cli("train.py", "-y", str(train_yaml))
+    assert (tmp_path / "model" / "latest.ckpt").exists()
+
+    eval_yaml = tmp_path / "eval.yaml"
+    eval_yaml.write_text(f"""
+dataset:
+    type: 'ImagePairDataset'
+    filename: {FIXTURE}
+    single_image: false
+    random_pairs: false
+    augmentation:
+        photometric:
+            enable: false
+        homographic:
+            enable: true
+            params:
+                translation: true
+                rotation: true
+            valid_border_margin: 2
+            border_reflect: true
+prediction:
+    disable_hmhead: true
+    num_worker: 0
+    batchsize: 1
+    detection_threshold: 0.005
+    nms: 4
+    topk: 0
+    reprojection_threshold: 3
+    matching:
+        method: bfmatcher
+        method_kwargs:
+            crossCheck: True
+        knn_matches: False
+""")
+    run_cli("benchmark.py", "-y", str(eval_yaml),
+            "-m", str(tmp_path / "model"), "-e",
+            "-o", str(tmp_path / "out"))
+    outs = [f for f in os.listdir(tmp_path / "out") if f.endswith(".json")]
+    assert outs
+    with open(tmp_path / "out" / outs[0]) as f:
+        res = json.load(f)
+    assert set(res) >= {"repeatability", "descriptor", "homography"}
+
+
 @pytest.mark.slow
 def test_train_predict_align_cli_chain(tiny_corpus, tmp_path):
     """cli/train.py -> cli/predict_keypoints.py -> cli/predict_align

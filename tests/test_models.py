@@ -135,3 +135,67 @@ def test_batched_pair_forward_matches_separate():
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(pt[k]), np.asarray(st[k]),
                                    atol=1e-5)
+
+
+def test_spectral_norm_stats_train_eval_consistency():
+    """Guards the cross-modal BN collapse (models/heads.py
+    SpectralBatchNorm): the takes_pair train step forwards the two spectra
+    separately, so train-mode BN normalizes each modality by its own batch
+    statistics; plain BN then evaluates BOTH modalities with one shared
+    running average, and the modality gap the training never saw flows
+    straight into the descriptors (measured 0.95 -> 0.33 corresponding-cell
+    cosine on the mini-corpus cycle). With spectral_norm_stats the eval
+    descriptors must stay close to what training optimized; with plain BN
+    they must NOT (if they did, the flag would be dead code)."""
+    import optax
+    from xpoint_tpu.losses import XPointLoss
+    from xpoint_tpu.parallel import make_train_step, TrainState
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(size=(2, 64, 64)).astype(np.float32)
+    optical = base
+    thermal = np.clip(base ** 2.2 * 1.5 - 0.2, 0, 1)  # strong affine+gamma gap
+    kp = (rng.uniform(size=(2, 64, 64)) > 0.99).astype(np.float32)
+    eye = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    batch = jax.tree.map(jnp.asarray, {
+        'optical': {'image': optical[..., None], 'keypoints': kp,
+                    'valid_mask': np.ones((2, 64, 64), np.float32),
+                    'homography': eye},
+        'thermal': {'image': thermal[..., None], 'keypoints': kp,
+                    'valid_mask': np.ones((2, 64, 64), np.float32),
+                    'homography': eye}})
+    loss_fn = XPointLoss({'detector_loss': True, 'descriptor_loss': True,
+                          'descriptor_loss_threshold': 4.0,
+                          'positive_margin': 1.0, 'negative_margin': 0.2,
+                          'lambda_d': 250, 'lambda': 1.0})
+
+    def train_then_eval_diag_cos(spectral):
+        module, _ = build_xpoint({
+            'multispectral': False, 'takes_pair': True,
+            'channel_version': 2, 'descriptor_size': 32,
+            'spectral_norm_stats': spectral,
+            'homography_regression_head': {'check': False}})
+        variables = jax.jit(lambda r: module.init(
+            r, jnp.zeros((1, 64, 64, 1)), method=module.init_all))(
+            jax.random.PRNGKey(0))
+        state = TrainState.create(variables['params'],
+                                  variables.get('batch_stats'),
+                                  optax.adam(1e-3))
+        step = make_train_step(module, loss_fn, takes_pair=True,
+                               donate=False)
+        for it in range(120):
+            state, _ = step(state, batch,
+                            jax.random.fold_in(jax.random.PRNGKey(1), it))
+        v = {'params': state.params, 'batch_stats': state.batch_stats}
+        po = module.apply(v, batch['optical']['image'], 'optical')
+        pt = module.apply(v, batch['thermal']['image'], 'thermal')
+        do = np.asarray(po['desc']).reshape(-1, 32)
+        dt = np.asarray(pt['desc']).reshape(-1, 32)
+        return float((do * dt).sum(1).mean())
+
+    cos_spectral = train_then_eval_diag_cos(True)
+    cos_plain = train_then_eval_diag_cos(False)
+    # training pushes corresponding cells toward cosine 1 in BOTH cases;
+    # only per-spectrum running stats carry that into eval mode
+    assert cos_spectral > 0.8, cos_spectral
+    assert cos_plain < cos_spectral - 0.15, (cos_plain, cos_spectral)

@@ -148,6 +148,12 @@ model:
     reflection_pad: true
     mixed_precision: true
     takes_pair: true
+    # per-spectrum BN running stats: without this, eval-time BN uses one
+    # shared running average for both modalities while the separate-forward
+    # train step normalized each modality by its own batch stats — measured
+    # cross-modal descriptor cosine collapse 0.95 -> 0.33 on the same
+    # weights (models/heads.py SpectralBatchNorm)
+    spectral_norm_stats: true
     homography_regression_head:
         check: false
 loss:

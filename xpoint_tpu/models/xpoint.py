@@ -42,6 +42,11 @@ DEFAULT_CONFIG = {
     'channel_version': 0,
     'mixed_precision': False,
     'takes_pair': False,
+    # XPoint-TPU extension (default off = reference BN semantics): keep one
+    # BN running-statistics set PER SPECTRUM so eval normalizes each
+    # modality the way the separate-forward train step did — see
+    # heads.SpectralBatchNorm for the measured train/eval collapse.
+    'spectral_norm_stats': False,
     'homography_regression_head': {'check': False, 'type': 'HomographyNet'},
     'use_attention': {'check': False, 'type': 'SimpleViT',
                       'height': 256, 'width': 256,
@@ -73,12 +78,14 @@ class XPointNet(nn.Module):
     hm_head: str = ""                       # '' | 'RegNet' | 'HomographyNet'
     dtype: Any = jnp.float32
     scan_backend: str = "assoc"
+    spectral_norm_stats: bool = False
 
     def _make_encoder(self, name):
         if self.encoder_type == "cnn":
             return CNNEncoder(tuple(self.n_channels), self.reflection_pad,
                               self.bn_first, self.double_convolution,
-                              self.dtype, name=name)
+                              self.dtype, self.spectral_norm_stats,
+                              name=name)
         if self.encoder_type == "vmamba":
             return build_vssm_from_config(dict(self.encoder_cfg),
                                           dtype=self.dtype,
@@ -99,11 +106,14 @@ class XPointNet(nn.Module):
         last_dim = self.encoder_downsample_ratio ** 2 + 1
         self.detector = Head(self.head_channels, last_dim,
                              self.final_batchnorm, self.reflection_pad,
-                             self.bn_first, self.dtype, name="detector_head")
+                             self.bn_first, self.dtype,
+                             self.spectral_norm_stats, name="detector_head")
         if self.descriptor_head:
             self.descriptor = Head(self.head_channels, self.descriptor_size,
                                    self.final_batchnorm, self.reflection_pad,
-                                   self.bn_first, self.dtype, name="descriptor_head")
+                                   self.bn_first, self.dtype,
+                                   self.spectral_norm_stats,
+                                   name="descriptor_head")
         if self.hm_head == "RegNet":
             self.hm_regressor = RegNet(dtype=self.dtype, name="hm_regressor")
         elif self.hm_head == "HomographyNet":
@@ -115,7 +125,7 @@ class XPointNet(nn.Module):
         or 'mixed' (per-sample mask select, needs is_optical)."""
         def run(enc):
             if self.encoder_type == "cnn":
-                return enc(image, train=train)
+                return enc(image, train=train, spectrum=spectrum)
             return enc(image, deterministic=not train)
 
         if not self.multispectral:
@@ -135,9 +145,9 @@ class XPointNet(nn.Module):
         """Single-spectrum forward: image (B, H, W, 1) -> dict of
         logits (B, Hc, Wc, r^2+1), desc (B, Hc, Wc, D), encoder_output."""
         x = self.encode(image, spectrum, is_optical, train)
-        out = {"logits": self.detector(x, train=train)}
+        out = {"logits": self.detector(x, train=train, spectrum=spectrum)}
         if self.descriptor_head:
-            desc = self.descriptor(x, train=train)
+            desc = self.descriptor(x, train=train, spectrum=spectrum)
             if self.normalize_descriptors:
                 desc = desc / jnp.maximum(
                     jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
@@ -307,5 +317,6 @@ def build_xpoint(config=None, dtype=None, scan_backend=None):
         hm_head=hm_head,
         dtype=dtype,
         scan_backend=scan_backend,
+        spectral_norm_stats=cfg['spectral_norm_stats'],
     )
     return module, cfg
