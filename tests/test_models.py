@@ -38,10 +38,13 @@ VMAMBA_MODEL_CFG = {
 
 
 def test_vssm_output_shape():
+    # jit both phases: unjitted flax apply executes eagerly op-by-op on the
+    # 1-core CPU runner; jitted programs hit the suite's persistent
+    # compilation cache (conftest.py) on every rerun
     model = VSSM(depths=(1, 1, 1, 1), embed_dim=32)
     x = jnp.zeros((1, 64, 64, 1))
-    params = model.init(jax.random.PRNGKey(0), x)
-    y = model.apply(params, x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(model.apply)(params, x)
     assert y.shape == (1, 8, 8, 16)     # H/8, W/8, embed/2
 
 
@@ -84,10 +87,10 @@ def test_vmamba_xpoint_pair_forward():
     assert module.encoder_type == "vmamba"
     assert module.n_channels[4] == 48
     img = jnp.zeros((1, 64, 64, 1))
-    variables = module.init(jax.random.PRNGKey(0), img,
-                            method=module.init_all)
-    pred_o, pred_t, pred_hm = module.apply(
-        variables, img, img, method=module.forward_pair)
+    variables = jax.jit(lambda r: module.init(
+        r, img, method=module.init_all))(jax.random.PRNGKey(0))
+    pred_o, pred_t, pred_hm = jax.jit(lambda v, a, b: module.apply(
+        v, a, b, method=module.forward_pair))(variables, img, img)
     assert pred_o["logits"].shape == (1, 8, 8, 65)
     assert pred_o["desc"].shape == (1, 8, 8, 256)
     assert pred_o["encoder_output"].shape == (1, 8, 8, 48)
@@ -108,8 +111,8 @@ def test_vssm_m0_forward():
                  d_state=16, ssm_ratio=2.0, disable_z=False)
     x = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 64, 64, 1)),
                     dtype=jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x)
-    y = model.apply(params, x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    y = jax.jit(model.apply)(params, x)
     assert y.shape == (1, 8, 8, 16)
     assert np.isfinite(np.asarray(y)).all()
 

@@ -279,6 +279,11 @@ def main():
                          'exist — sound when iterating only on the '
                          'pair-training recipe (the labels depend on the '
                          'corpus + synth detector, which are unchanged)')
+    ap.add_argument('--reuse-model', action='store_true',
+                    help='skip pair training when {work}/pair-train already '
+                         'holds a checkpoint — regenerates the committed '
+                         'metrics (e.g. after an eval operating-point '
+                         'change) without the ~20-min retrain')
     ap.add_argument('--reuse-corpus', action='store_true',
                     help='skip corpus generation when {work}/corpus already '
                          'holds both splits (pre-generated on the host '
@@ -365,14 +370,17 @@ def main():
             cfg(EXPORT_CFG, 'export.yaml', ha_num=args.ha_num),
             '-o', f'{w}/labels.hdf5', '-m', synth_dir])
     # 4. pair training
-    sh([py, 'cli/train.py', '-y',
-        cfg(PAIR_CFG, 'pair.yaml', pair_epochs=args.pair_epochs,
-            pair_lr=args.pair_lr,
-            use_sched=str(args.pair_sched_gamma is not None).lower(),
-            sched_gamma=(args.pair_sched_gamma
-                         if args.pair_sched_gamma is not None else 1.0),
-            sched_step=args.pair_sched_step,
-            device_data=str(bool(args.device_data)).lower())])
+    if args.reuse_model and os.path.exists(f'{w}/pair-train/latest.ckpt'):
+        print(f"+ reusing trained pair model in {w}/pair-train", flush=True)
+    else:
+        sh([py, 'cli/train.py', '-y',
+            cfg(PAIR_CFG, 'pair.yaml', pair_epochs=args.pair_epochs,
+                pair_lr=args.pair_lr,
+                use_sched=str(args.pair_sched_gamma is not None).lower(),
+                sched_gamma=(args.pair_sched_gamma
+                             if args.pair_sched_gamma is not None else 1.0),
+                sched_step=args.pair_sched_step,
+                device_data=str(bool(args.device_data)).lower())])
     # 5. evaluation sweep (reference benchmark.py -e JSON schema)
     sh([py, 'cli/benchmark.py', '-y', cfg(EVAL_CFG, 'eval.yaml'),
         '-m', f'{w}/pair-train', '-e', '-o', f'{w}/outputs'])
