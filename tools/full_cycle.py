@@ -218,16 +218,20 @@ prediction:
     allow_gpu: true
     num_worker: 0
     batchsize: 1
-    # operating point tuned on the mini corpus with DETERMINISTIC eval
-    # draws, 3 seeds (det 0.005 beat 0.015/0.001; nms 8 beat 4 on
-    # M-score/NN-mAP). subpixel refinement (XPoint-TPU extension) measured
-    # neutral-to-NEGATIVE on h-correctness here (3-seed mean h@3 0.0052 vs
-    # 0.0156 off; its earlier win was pre-determinism-fix noise) — it
-    # tightens already-good fits (lower avg corner error) but flips a few
-    # borderline registrations, so the committed point keeps it off
-    detection_threshold: 0.005
+    # operating point re-tuned AFTER the spectral-BN fix (the old det
+    # 0.005 / nms 8 point was tuned on the pre-fix collapsed model):
+    # deterministic seed-0 draws, 10-config sweep + seed-1/2 holdout.
+    # h@3 plateaus at 0.5156 for det in [0.0005, 0.002] at nms 4 (vs
+    # 0.4531 at nms 8, 0.328 at the old point = the SIFT anchor); denser
+    # detections trade a little NN-mAP (0.091 vs 0.123 at det 0.005 /
+    # nms 4) for +0.09 registration success — registration is the
+    # framework's target metric, so the committed point takes the h@3
+    # plateau center. subpixel refinement stays off (measured
+    # neutral-to-negative on h-correctness: it tightens already-good
+    # fits but flips borderline registrations)
+    detection_threshold: 0.001
     subpixel: false
-    nms: 8
+    nms: 4
     topk: 0
     reprojection_threshold: 3
     matching:
