@@ -87,7 +87,7 @@ prediction:
     allow_gpu: true
     num_worker: 0
     batchsize: 1
-    detection_threshold: 0.015
+    detection_threshold: {export_det}
     nms: 4
     reprojection_threshold: 3
 homographic_adaptation:
@@ -271,6 +271,10 @@ def main():
                          'epochs (reference train.py scheduler semantics)')
     ap.add_argument('--pair-sched-step', type=int, default=600)
     ap.add_argument('--ha-num', type=int, default=50)
+    ap.add_argument('--export-det', type=float, default=0.015,
+                    help='HA-export detection threshold; lower = denser '
+                         'labels (the thermal side detects ~3x fewer '
+                         'keypoints than optical at the 0.015 default)')
     ap.add_argument('--reuse-synth', default=None,
                     help='path to an existing synthetic-pretrain output dir '
                          '(skips corpus-INDEPENDENT steps 1b/2 — the '
@@ -371,7 +375,8 @@ def main():
     # 3. HA label export
     if not reuse_labels:
         sh([py, 'cli/export_keypoints.py', '-y',
-            cfg(EXPORT_CFG, 'export.yaml', ha_num=args.ha_num),
+            cfg(EXPORT_CFG, 'export.yaml', ha_num=args.ha_num,
+                export_det=args.export_det),
             '-o', f'{w}/labels.hdf5', '-m', synth_dir])
     # 4. pair training
     if args.reuse_model and os.path.exists(f'{w}/pair-train/latest.ckpt'):
