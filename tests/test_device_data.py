@@ -36,8 +36,8 @@ def test_sample_homography_device_distribution():
     n = 200
     shape = (64, 64)
     keys = jax.random.split(jax.random.PRNGKey(42), n)
-    hs_dev = np.asarray(jax.vmap(
-        lambda k: sample_homography_device(k, shape, **params))(keys))
+    hs_dev = np.asarray(jax.jit(jax.vmap(
+        lambda k: sample_homography_device(k, shape, **params)))(keys))
     rng = np.random.default_rng(7)
     hs_host = np.stack([sample_homography(shape, rng=rng, **params)
                         for _ in range(n)])
@@ -66,8 +66,8 @@ def test_sample_homography_device_no_artifacts_stays_in_bounds():
                   max_angle=0.8)
     shape = (64, 64)
     keys = jax.random.split(jax.random.PRNGKey(3), 64)
-    hs = np.asarray(jax.vmap(
-        lambda k: sample_homography_device(k, shape, **params))(keys))
+    hs = np.asarray(jax.jit(jax.vmap(
+        lambda k: sample_homography_device(k, shape, **params)))(keys))
     # unit-square corners must land inside the image for every draw:
     # each transform either keeps the patch in [0,1]^2 or falls back
     corners = np.array([[0, 0, 1], [63, 0, 1], [63, 63, 1], [0, 63, 1]],

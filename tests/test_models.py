@@ -186,12 +186,16 @@ def test_spectral_norm_stats_train_eval_consistency():
                                   optax.adam(1e-3))
         step = make_train_step(module, loss_fn, takes_pair=True,
                                donate=False)
-        for it in range(120):
+        # 80 steps: measured margins spectral 0.95 / plain 0.12 (120 steps
+        # add wall time, not discrimination — gap 0.83 vs 0.86)
+        for it in range(80):
             state, _ = step(state, batch,
                             jax.random.fold_in(jax.random.PRNGKey(1), it))
         v = {'params': state.params, 'batch_stats': state.batch_stats}
-        po = module.apply(v, batch['optical']['image'], 'optical')
-        pt = module.apply(v, batch['thermal']['image'], 'thermal')
+        po = jax.jit(module.apply, static_argnums=2)(
+            v, batch['optical']['image'], 'optical')
+        pt = jax.jit(module.apply, static_argnums=2)(
+            v, batch['thermal']['image'], 'thermal')
         do = np.asarray(po['desc']).reshape(-1, 32)
         dt = np.asarray(pt['desc']).reshape(-1, 32)
         return float((do * dt).sum(1).mean())

@@ -17,11 +17,13 @@ def _data(L, M, seed=0):
 
 
 def test_ring_scan_matches_single_device():
+    # jit both programs: eager shard_map/scan dispatch on the 1-core CPU
+    # runner dominates; jitted programs hit the persistent cache
     mesh = make_mesh(8)
     a, b = _data(512, 24)
     with mesh:
-        h = ring_linear_scan(a, b, mesh)
-    h_ref = linear_scan(a, b)
+        h = jax.jit(lambda a_, b_: ring_linear_scan(a_, b_, mesh))(a, b)
+    h_ref = jax.jit(linear_scan)(a, b)
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -37,8 +39,8 @@ def test_ring_scan_gradients():
     def loss_ref(a, b):
         return (linear_scan(a, b) ** 2).sum()
 
-    ga = jax.grad(loss_ring, argnums=(0, 1))(a, b)
-    gr = jax.grad(loss_ref, argnums=(0, 1))(a, b)
+    ga = jax.jit(jax.grad(loss_ring, argnums=(0, 1)))(a, b)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(a, b)
     for x, y in zip(ga, gr):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-4)
@@ -50,10 +52,10 @@ def test_ring_scan_long_decay_parity():
     mesh = make_mesh(8)
     a, b = _data(2048, 4, seed=2)
     with mesh:
-        h = ring_linear_scan(a, b, mesh)
+        h = jax.jit(lambda a_, b_: ring_linear_scan(a_, b_, mesh))(a, b)
     # boundary rows: first row of each shard depends on the carry
     h = np.asarray(h)
-    h_ref = np.asarray(linear_scan(a, b))
+    h_ref = np.asarray(jax.jit(linear_scan)(a, b))
     for s in range(8):
         i = s * 256
         np.testing.assert_allclose(h[i], h_ref[i], rtol=1e-5, atol=1e-5)

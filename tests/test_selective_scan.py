@@ -60,7 +60,8 @@ def test_selective_scan_matches_oracle(backend, L, N):
     rng = np.random.default_rng(42)
     args = make_params(rng, N=N, L=L)
     ref = torch_oracle(*args)
-    out = selective_scan(*[jnp.asarray(a) for a in args], backend=backend)
+    out = jax.jit(lambda *a: selective_scan(*a, backend=backend))(
+        *[jnp.asarray(a) for a in args])
     # fp32 compute vs fp64 oracle: per-step rounding accumulates over L
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
 
@@ -74,11 +75,13 @@ def test_selective_scan_flags(with_D, with_bias, softplus):
     D_ = D if with_D else None
     db_ = delta_bias if with_bias else None
     ref = torch_oracle(u, delta, A, B, C, D_, db_, softplus)
-    out = selective_scan_assoc(jnp.asarray(u), jnp.asarray(delta), jnp.asarray(A),
-                               jnp.asarray(B), jnp.asarray(C),
-                               None if D_ is None else jnp.asarray(D_),
-                               None if db_ is None else jnp.asarray(db_),
-                               softplus)
+    out = jax.jit(
+        lambda u_, dt_, A_, B_, C_: selective_scan_assoc(
+            u_, dt_, A_, B_, C_,
+            None if D_ is None else jnp.asarray(D_),
+            None if db_ is None else jnp.asarray(db_), softplus))(
+        jnp.asarray(u), jnp.asarray(delta), jnp.asarray(A),
+        jnp.asarray(B), jnp.asarray(C))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
 
 
@@ -89,8 +92,10 @@ def test_selective_scan_gradients_match_between_backends():
     def loss(fn, u, delta, A, B, C, D, db):
         return jnp.sum(fn(u, delta, A, B, C, D, db, True) ** 2)
 
-    g_ref = jax.grad(lambda *a: loss(selective_scan_ref, *a), argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
-    g_assoc = jax.grad(lambda *a: loss(selective_scan_assoc, *a), argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    # jit the grad programs: eager transposed-scan dispatch on the 1-core
+    # CPU runner dominates; jitted programs hit the persistent cache
+    g_ref = jax.jit(jax.grad(lambda *a: loss(selective_scan_ref, *a), argnums=(0, 1, 2, 3, 4, 5, 6)))(*args)
+    g_assoc = jax.jit(jax.grad(lambda *a: loss(selective_scan_assoc, *a), argnums=(0, 1, 2, 3, 4, 5, 6)))(*args)
     for gr, ga in zip(g_ref, g_assoc):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gr),
                                    atol=1e-3, rtol=1e-3)
@@ -144,7 +149,8 @@ def test_pallas_backend_matches_oracle(L, N):
     rng = np.random.default_rng(21)
     args = make_params(rng, N=N, L=L)
     ref = torch_oracle(*args)
-    out = selective_scan(*[jnp.asarray(a) for a in args], backend="pallas")
+    out = jax.jit(lambda *a: selective_scan(*a, backend="pallas"))(
+        *[jnp.asarray(a) for a in args])
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
 
 
@@ -157,10 +163,10 @@ def test_pallas_gradients_match_ref():
     def loss(fn, *a):
         return jnp.sum(fn(*a, True) ** 2)
 
-    g_ref = jax.grad(lambda *a: loss(selective_scan_ref, *a),
-                     argnums=tuple(range(7)))(*args)
-    g_pal = jax.grad(lambda *a: loss(selective_scan_pallas, *a),
-                     argnums=tuple(range(7)))(*args)
+    g_ref = jax.jit(jax.grad(lambda *a: loss(selective_scan_ref, *a),
+                             argnums=tuple(range(7))))(*args)
+    g_pal = jax.jit(jax.grad(lambda *a: loss(selective_scan_pallas, *a),
+                             argnums=tuple(range(7))))(*args)
     for gr, gp in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    atol=2e-3, rtol=1e-2)
@@ -177,10 +183,10 @@ def test_fused_pallas_gradients_n1():
     def loss(fn, *a):
         return jnp.sum(fn(*a, True) ** 2)
 
-    g_ref = jax.grad(lambda *a: loss(selective_scan_ref, *a),
-                     argnums=tuple(range(7)))(*args)
-    g_fused = jax.grad(lambda *a: loss(selective_scan_pallas, *a),
-                       argnums=tuple(range(7)))(*args)
+    g_ref = jax.jit(jax.grad(lambda *a: loss(selective_scan_ref, *a),
+                             argnums=tuple(range(7))))(*args)
+    g_fused = jax.jit(jax.grad(lambda *a: loss(selective_scan_pallas, *a),
+                               argnums=tuple(range(7))))(*args)
     for gr, gf in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=2e-3, rtol=1e-2)
@@ -202,15 +208,15 @@ def test_fused_bidir_matches_flip_reference():
     D = jnp.asarray(rng.normal(size=(4 * Dim,)).astype(np.float32))
     bias = jnp.asarray(rng.normal(size=(4 * Dim,)).astype(np.float32)) * 0.2
 
-    y = selective_scan_fused_bidir(u2, dt4, bc4, cc4, A, D, bias)
-    yr = _unfused_bidir_ref(u2, dt4, bc4, cc4, A, D, bias)
+    y = jax.jit(selective_scan_fused_bidir)(u2, dt4, bc4, cc4, A, D, bias)
+    yr = jax.jit(_unfused_bidir_ref)(u2, dt4, bc4, cc4, A, D, bias)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
                                rtol=1e-4, atol=1e-5)
 
     f = lambda *a: (selective_scan_fused_bidir(*a) ** 2).sum()
     fr = lambda *a: (_unfused_bidir_ref(*a) ** 2).sum()
-    g = jax.grad(f, argnums=(0, 1, 2, 3))(u2, dt4, bc4, cc4, A, D, bias)
-    gr = jax.grad(fr, argnums=(0, 1, 2, 3))(u2, dt4, bc4, cc4, A, D, bias)
+    g = jax.jit(jax.grad(f, argnums=(0, 1, 2, 3)))(u2, dt4, bc4, cc4, A, D, bias)
+    gr = jax.jit(jax.grad(fr, argnums=(0, 1, 2, 3)))(u2, dt4, bc4, cc4, A, D, bias)
     for gi, gri in zip(g, gr):
         np.testing.assert_allclose(np.asarray(gi), np.asarray(gri),
                                    rtol=1e-4, atol=1e-5)
@@ -242,9 +248,9 @@ def test_fused_bidir_tok_matches_standard_layout():
     cc_t = jnp.stack([cc4[:, 0:2, :, 0].transpose(2, 0, 1),
                       cc4[:, 2:4, :, 0].transpose(2, 0, 1)])
 
-    y4 = selective_scan_fused_bidir(u2, dt4, bc4, cc4, A, D, bias)
-    y_f, y_r = selective_scan_fused_bidir_tok(u_t, dt_t, bc_t, cc_t,
-                                              A, D, bias)
+    y4 = jax.jit(selective_scan_fused_bidir)(u2, dt4, bc4, cc4, A, D, bias)
+    y_f, y_r = jax.jit(selective_scan_fused_bidir_tok)(u_t, dt_t, bc_t, cc_t,
+                                                       A, D, bias)
     np.testing.assert_allclose(
         np.asarray(y_f), np.asarray(y4[:, 0:2].transpose(2, 0, 1, 3)),
         rtol=1e-4, atol=1e-5)
@@ -270,8 +276,8 @@ def test_fused_bidir_tok_matches_standard_layout():
         return (yf ** 2).sum() + (yr ** 2).sum()
 
     args = (u2, dt4, bc4, cc4, A, D, bias)
-    g_std = jax.grad(f_std, argnums=tuple(range(7)))(*args)
-    g_tok = jax.grad(f_tok, argnums=tuple(range(7)))(*args)
+    g_std = jax.jit(jax.grad(f_std, argnums=tuple(range(7))))(*args)
+    g_tok = jax.jit(jax.grad(f_tok, argnums=tuple(range(7))))(*args)
     for gs, gt in zip(g_std, g_tok):
         np.testing.assert_allclose(np.asarray(gt), np.asarray(gs),
                                    rtol=1e-4, atol=1e-5)
@@ -287,17 +293,14 @@ def test_ss2d_bidir_path_matches_ref_backend():
               d_conv=3, disable_z=True, scan_mode=0)
     m_ref = SS2D(**kw, scan_backend="ref")
     m_pal = SS2D(**kw, scan_backend="pallas")
-    v = m_ref.init(jax.random.PRNGKey(0), x)
-    y_ref = m_ref.apply(v, x)
-    y_pal = m_pal.apply(v, x)
+    v = jax.jit(m_ref.init)(jax.random.PRNGKey(0), x)
+    y_ref = jax.jit(m_ref.apply)(v, x)
+    y_pal = jax.jit(m_pal.apply)(v, x)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
 
-    def loss(params, mod):
-        return (mod.apply(params, x) ** 2).sum()
-
-    g_ref = jax.grad(loss)(v, m_ref)
-    g_pal = jax.grad(loss)(v, m_pal)
+    g_ref = jax.jit(jax.grad(lambda p: (m_ref.apply(p, x) ** 2).sum()))(v)
+    g_pal = jax.jit(jax.grad(lambda p: (m_pal.apply(p, x) ** 2).sum()))(v)
 
     def cmp(a, b):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),

@@ -16,7 +16,9 @@ from reference_oracle import get_reference
 
 def _forward_jax(module, variables, img_nchw, spectrum="optical"):
     img = jnp.asarray(np.transpose(img_nchw, (0, 2, 3, 1)))
-    out = module.apply(variables, img, spectrum)
+    # jitted apply: eager flax dispatch on the 1-core CPU runner dominates
+    # these parity tests; jitted programs hit the persistent cache
+    out = jax.jit(module.apply, static_argnums=2)(variables, img, spectrum)
     prob = prob_from_logits(out["logits"], module.encoder_downsample_ratio)
     return np.asarray(prob), np.asarray(out["desc"]).transpose(0, 3, 1, 2)
 
@@ -162,8 +164,9 @@ def test_pretrained_encoder_bootstrap(tmp_path):
               for k, v in ref.state_dict().items() if k.startswith("encoder.")}
 
     module, mcfg = build_xpoint(cfg)
-    variables = module.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 32, 32, 1)), method=module.init_all)
+    variables = jax.jit(lambda r: module.init(
+        r, jnp.zeros((1, 32, 32, 1)), method=module.init_all))(
+        jax.random.PRNGKey(0))
     new_vars = convert_pretrained_encoder(enc_sd, module, variables)
     # encoder weights replaced, heads untouched
     ref_w = ref.state_dict()["encoder.patch_embed.0.weight"].numpy()
