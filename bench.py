@@ -291,6 +291,12 @@ def _train_step_mfu(module, variables, B=8, size=256):
 
     n = 8
     batches = [fresh_batch() for _ in range(n)]
+    # force the host->device transfers to COMPLETE before the timing
+    # window (same discipline as _measure_stream): without this fence the
+    # loop times the tunnel's transfer bandwidth, not the step — measured
+    # 127 ms/step unfenced vs 31 ms fenced on identical programs
+    total = sum(jnp.sum(v) for b in batches for v in jax.tree.leaves(b))
+    np.asarray(total)
     t0 = time.time()
     for b in batches:
         state, comps = step(state, b, key)
