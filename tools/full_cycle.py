@@ -139,7 +139,7 @@ dataset:
             border_reflect: true
 model:
     type: 'XPoint'
-    multispectral: false
+    multispectral: {multispectral}
     descriptor_head: true
     descriptor_size: 256
     intepolation_mode: bilinear
@@ -170,6 +170,11 @@ loss:
     negative_margin: 0.2
     lambda_d: 250
     lambda: 1.0
+    hard_negative_weighting:
+        check: {hard_neg_check}
+        temperature: {hard_neg_tau}
+        weight: {hard_neg_weight}
+        keep_uniform: {hard_neg_keep_uniform}
 training:
     batchsize: 8
     learningrate: {pair_lr}
@@ -261,6 +266,10 @@ def main():
     ap.add_argument('--n-train', type=int, default=128)
     ap.add_argument('--n-test', type=int, default=64)
     ap.add_argument('--size', type=int, default=512)
+    ap.add_argument('--gap', choices=('v1', 'v2'), default='v1',
+                    help="corpus spectral gap (make_mini_corpus.py --gap): "
+                         "v2 adds dead-leaves backgrounds + partial "
+                         "contrast inversion")
     ap.add_argument('--synth-epochs', type=int, default=60)
     ap.add_argument('--synth-samples', type=int, default=1500)
     ap.add_argument('--pair-epochs', type=int, default=600)
@@ -271,6 +280,18 @@ def main():
                          'epochs (reference train.py scheduler semantics)')
     ap.add_argument('--pair-sched-step', type=int, default=600)
     ap.add_argument('--ha-num', type=int, default=50)
+    ap.add_argument('--multispectral', action='store_true',
+                    help='pair-train with TWO encoders routed by spectrum '
+                         '(the reference production mode for real data, '
+                         'XPoint.py:284-305) instead of one shared encoder')
+    ap.add_argument('--hard-neg-weight', type=float, default=None,
+                    help='enable softmax-weighted hard-negative emphasis in '
+                         'the descriptor hinge at this weight (extension, '
+                         'losses/xpoint_loss.py hard_negative_weighting)')
+    ap.add_argument('--hard-neg-tau', type=float, default=0.1)
+    ap.add_argument('--hard-neg-replace-uniform', action='store_true',
+                    help='drop the reference uniform negative term when '
+                         'hard-negative weighting is on')
     ap.add_argument('--export-det', type=float, default=0.015,
                     help='HA-export detection threshold; lower = denser '
                          'labels (the thermal side detects ~3x fewer '
@@ -340,13 +361,13 @@ def main():
               f"(regenerating test split at n={args.n_test})", flush=True)
         sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
             '--n-test', str(args.n_test), '--size', str(args.size),
-            '--splits', 'test'])
+            '--splits', 'test', '--gap', args.gap])
     elif reuse_corpus:
         print(f"+ reusing pre-generated corpus in {w}/corpus", flush=True)
     else:
         sh([py, 'tools/make_mini_corpus.py', '--out', f'{w}/corpus',
             '--n-train', str(args.n_train), '--n-test', str(args.n_test),
-            '--size', str(args.size)])
+            '--size', str(args.size), '--gap', args.gap])
     synth_dir = args.reuse_synth or f'{w}/synthetic-pretrain'
     # 1b. pre-generate the synthetic-shapes set once (on-the-fly generation
     # costs ~100 ms/sample on the host — regenerating every epoch would
@@ -389,7 +410,14 @@ def main():
                 sched_gamma=(args.pair_sched_gamma
                              if args.pair_sched_gamma is not None else 1.0),
                 sched_step=args.pair_sched_step,
-                device_data=str(bool(args.device_data)).lower())])
+                device_data=str(bool(args.device_data)).lower(),
+                multispectral=str(bool(args.multispectral)).lower(),
+                hard_neg_check=str(args.hard_neg_weight is not None).lower(),
+                hard_neg_tau=args.hard_neg_tau,
+                hard_neg_weight=(args.hard_neg_weight
+                                 if args.hard_neg_weight is not None else 0.0),
+                hard_neg_keep_uniform=str(
+                    not args.hard_neg_replace_uniform).lower())])
     # 5. evaluation sweep (reference benchmark.py -e JSON schema)
     sh([py, 'cli/benchmark.py', '-y', cfg(EVAL_CFG, 'eval.yaml'),
         '-m', f'{w}/pair-train', '-e', '-o', f'{w}/outputs'])

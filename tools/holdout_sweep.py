@@ -1,0 +1,97 @@
+"""Holdout-seed evaluation sweep: run the registration benchmark
+(cli/benchmark.py -e, reference benchmark.py JSON schema) over N eval warp
+seeds and write per-seed metrics + a mean ± 95% CI summary.
+
+Why: the committed benchmark has 64 held-out pairs, so h-correctness@3 has
+1/64 granularity — operating-point decisions must not ride 3-pair
+differences. Ten seeds put a confidence interval next to every point
+metric (VERDICT r4 weak #5).
+
+    python tools/holdout_sweep.py --work /tmp/cyc --model /tmp/cyc/pair-train \
+        --seeds 10 --out metrics/holdout
+
+Reuses the eval YAML the cycle wrote ({work}/eval.yaml); seed 0 is the
+committed-benchmark draw, seeds 1..N-1 are holdout.
+"""
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def mean_ci(xs):
+    n = len(xs)
+    m = sum(xs) / n
+    if n < 2:
+        return m, 0.0
+    var = sum((x - m) ** 2 for x in xs) / (n - 1)
+    # 95% normal-approx CI (t_0.975 for n=10 is 2.262; use t for small n)
+    t = {2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57, 7: 2.45, 8: 2.36,
+         9: 2.31, 10: 2.26}.get(n, 1.96)
+    return m, t * math.sqrt(var / n)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--work', default='/tmp/cycle')
+    ap.add_argument('--model', default=None,
+                    help='model dir (default {work}/pair-train)')
+    ap.add_argument('--eval-yaml', default=None,
+                    help='eval config (default {work}/eval.yaml)')
+    ap.add_argument('--seeds', type=int, default=10)
+    ap.add_argument('--out', default='metrics/holdout')
+    args = ap.parse_args()
+
+    model = args.model or f'{args.work}/pair-train'
+    eval_yaml = args.eval_yaml or f'{args.work}/eval.yaml'
+    outdir = os.path.join(REPO, args.out)
+    os.makedirs(outdir, exist_ok=True)
+    py = sys.executable
+
+    per_seed = {}
+    for seed in range(args.seeds):
+        odir = f'{args.work}/holdout_s{seed}'
+        cmd = [py, 'cli/benchmark.py', '-y', eval_yaml, '-m', model,
+               '-e', '-s', str(seed), '-o', odir]
+        print('+', ' '.join(cmd), flush=True)
+        subprocess.run(cmd, check=True, cwd=REPO)
+        outs = sorted((os.path.join(r, f) for r, _, fs in os.walk(odir)
+                       for f in fs if f.endswith('.json')),
+                      key=os.path.getmtime)
+        with open(outs[-1]) as f:
+            res = json.load(f)
+        d3 = res['descriptor']['3']
+        hkey = sorted(res['homography'])[0]
+        h = res['homography'][hkey]
+        per_seed[seed] = {
+            'h_correctness@3': h['h_correctness']['epsilon_warp_th3'],
+            'avg_h_error': h['average_h_error'],
+            'nn_map@3': d3['nn_map'],
+            'm_score@3': d3['m_score'],
+            'repeatability@3': res['repeatability']['3'],
+        }
+        dst = os.path.join(outdir, f'mini_corpus_metrics_s{seed}.json')
+        with open(outs[-1]) as fi, open(dst, 'w') as fo:
+            fo.write(fi.read())
+        print(f"seed {seed}: {per_seed[seed]}", flush=True)
+
+    summary = {'n_seeds': args.seeds, 'per_seed': per_seed}
+    for key in ('h_correctness@3', 'nn_map@3', 'm_score@3',
+                'repeatability@3', 'avg_h_error'):
+        xs = [per_seed[s][key] for s in per_seed]
+        m, ci = mean_ci(xs)
+        summary[key] = {'mean': m, 'ci95': ci,
+                        'min': min(xs), 'max': max(xs)}
+    with open(os.path.join(outdir, 'summary.json'), 'w') as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != 'per_seed'}, indent=1))
+    print(f"summary written to {os.path.join(outdir, 'summary.json')}")
+
+
+if __name__ == '__main__':
+    main()

@@ -82,11 +82,80 @@ def pseudo_thermal(opt, rng):
     return ((t - lo) / max(hi - lo, 1e-6)).astype(np.float32)
 
 
-def write_split(path, n, rng, shape=(512, 512)):
+def dead_leaves(rng, shape, n_disks=220):
+    """Natural-statistics background: occluding disks with a power-law
+    radius distribution (the dead-leaves model — matches the 1/f^2 power
+    spectrum of natural imagery far better than the primitive-blob
+    background). Corpus-v2 ingredient (VERDICT r4 next-round #2)."""
+    img = np.full(shape, 0.5, np.float32)
+    H, W = shape
+    rmin, rmax = 6.0, H / 3.0
+    for _ in range(n_disks):
+        # p(r) ~ r^-3 on [rmin, rmax] via inverse-CDF sampling
+        u = rng.uniform()
+        r = (rmin ** -2 + u * (rmax ** -2 - rmin ** -2)) ** -0.5
+        c = (int(rng.integers(W)), int(rng.integers(H)))
+        col = float(rng.uniform(0.1, 0.9))
+        cv2.circle(img, c, int(r), col, -1)
+    img = cv2.GaussianBlur(img, (3, 3), 0)
+    return img
+
+
+def optical_image_v2(rng, shape=(512, 512)):
+    """v2 optical: dead-leaves base + the calibrated primitive overlay
+    (primitives still provide the corner-rich structures HA labels key on)."""
+    import random as _random
+    seed = int(rng.integers(2 ** 31))
+    _random.seed(seed)
+    np.random.seed(seed)
+    base = dead_leaves(rng, shape)
+    img = dp.generate_background(shape)
+    img = 0.5 * img + 0.5 * base
+    for _ in range(8 + int(rng.integers(5))):
+        gen = GENERATORS[rng.integers(len(GENERATORS))]
+        gen(img)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def partial_inversion_mask(rng, shape, blur_frac=0.12):
+    """Smooth random field in [0, 1]: ~half the image area inverts, with
+    soft region boundaries (thresholded low-frequency noise). Models the
+    hallmark optical<->thermal property that material classes flip
+    intensity polarity REGIONALLY, not globally."""
+    H, W = shape
+    small = rng.normal(size=(8, 8)).astype(np.float32)
+    field = cv2.resize(small, (W, H), interpolation=cv2.INTER_CUBIC)
+    k = int(blur_frac * H) | 1
+    field = cv2.GaussianBlur(field, (k, k), 0)
+    # soft threshold at the median -> ~50% inverted area, smooth edges
+    med = float(np.median(field))
+    scale = max(float(field.std()), 1e-6) * 0.35
+    return 1.0 / (1.0 + np.exp(-(field - med) / scale))
+
+
+def pseudo_thermal_v2(opt, rng):
+    """Corpus-v2 spectral gap: REGION-LEVEL PARTIAL CONTRAST INVERSION on
+    top of the v1 gamma/blur/speckle gap — the flagship optical<->thermal
+    setting the v1 corpus could not represent (VERDICT r4 missing #1 /
+    next-round #2). Inside the smooth random regions of `m`, intensity
+    polarity flips (1 - t); outside it is preserved; boundaries blend."""
+    g = 0.5 + 1.1 * rng.uniform()
+    t = np.power(opt, g)
+    m = partial_inversion_mask(rng, t.shape)
+    t = m * (1.0 - t) + (1.0 - m) * t
+    t = cv2.GaussianBlur(t, (3, 3), 0)
+    t = np.clip(t + rng.normal(0, 0.03, t.shape), 0, 1)
+    lo, hi = t.min(), t.max()
+    return ((t - lo) / max(hi - lo, 1e-6)).astype(np.float32)
+
+
+def write_split(path, n, rng, shape=(512, 512), gap='v1'):
+    make_opt = optical_image_v2 if gap == 'v2' else optical_image
+    make_th = pseudo_thermal_v2 if gap == 'v2' else pseudo_thermal
     with h5py.File(path, 'w') as f:
         for i in range(n):
-            opt = optical_image(rng, shape)
-            th = pseudo_thermal(opt, rng)
+            opt = make_opt(rng, shape)
+            th = make_th(opt, rng)
             grp = f.create_group(f"sample_{i:04d}")
             grp.create_dataset('optical', data=opt)
             grp.create_dataset('thermal', data=th)
@@ -98,6 +167,12 @@ def main():
     ap.add_argument('--n-train', type=int, default=64)
     ap.add_argument('--n-test', type=int, default=64)
     ap.add_argument('--size', type=int, default=512)
+    ap.add_argument('--gap', choices=('v1', 'v2'), default='v1',
+                    help="spectral gap: 'v1' = gamma+blur+speckle "
+                         "(VIS-NIR-like, the committed benchmark), 'v2' = "
+                         "v1 + dead-leaves backgrounds + region-level "
+                         "partial contrast INVERSION (optical<->thermal-"
+                         "like)")
     ap.add_argument('--splits', choices=('both', 'train', 'test'),
                     default='both',
                     help='which split(s) to (re)write; the splits use '
@@ -109,13 +184,13 @@ def main():
     shape = (args.size, args.size)
     if args.splits in ('both', 'train'):
         write_split(os.path.join(args.out, 'training.hdf5'), args.n_train,
-                    np.random.default_rng(0), shape)
+                    np.random.default_rng(0), shape, args.gap)
     if args.splits in ('both', 'test'):
         write_split(os.path.join(args.out, 'test.hdf5'), args.n_test,
-                    np.random.default_rng(1), shape)
+                    np.random.default_rng(1), shape, args.gap)
     print(f"mini corpus written to {args.out} "
           f"({args.n_train} train / {args.n_test} test pairs @{args.size}, "
-          f"splits={args.splits})")
+          f"splits={args.splits}, gap={args.gap})")
 
 
 if __name__ == '__main__':

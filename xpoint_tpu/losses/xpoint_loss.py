@@ -38,6 +38,16 @@ DEFAULT_CONFIG = {
     'negative_margin': 0.2,
     'lambda_d': 250,
     'lambda': 0.0001,
+    # XPoint-TPU extension (default off = reference parity: uniform
+    # negative averaging, losses.py:729-744). When enabled, an additional
+    # hard-negative term re-weights each anchor cell's negatives by
+    # softmax(dot/temperature) over the valid non-corresponding cells
+    # (both anchor directions, averaged) — easy negatives with hinge 0
+    # stop diluting the gradient, the hardest (most confusable) cells
+    # dominate it. 'weight' scales the term; 'keep_uniform' keeps the
+    # reference uniform term alongside (off = replace it).
+    'hard_negative_weighting': {'check': False, 'temperature': 0.1,
+                                'weight': 0.2, 'keep_uniform': True},
     'space_to_depth_ratio': 8,
     'use_encoder_similarity': False,
     'homography_regression_loss': {'check': False, 'gamma': 1.0},
@@ -188,14 +198,38 @@ def descriptor_loss(desc1, desc2, homography1, homography2,
         dot = jnp.einsum("bnd,bmd->bnm", d2, d1,
                          preferred_element_type=jnp.float32)
         positive = lambda_d * corr * jnp.maximum(0.0, pos_margin - dot)
-        negative = (1 - corr) * jnp.maximum(0.0, dot - neg_margin)
+        neg_hinge = jnp.maximum(0.0, dot - neg_margin)
+        negative = (1 - corr) * neg_hinge
         positive = positive * valid
         negative = negative * valid
         loss = positive + negative
         norm = jnp.maximum(valid.sum(axis=(1, 2)), 1.0)
-        total = (loss.sum(axis=(1, 2)) / norm).mean()
+        hn = config['hard_negative_weighting']
+        hard = 0.0
+        if hn.get('check'):
+            # same softmax(dot/tau) hard-negative emphasis as the dense
+            # path, on the sampled-cell matrix (both anchor directions)
+            e = jnp.exp(dot / float(hn.get('temperature', 0.1))) \
+                * (1 - corr) * valid
+            e_num = e * neg_hinge
+
+            def wmean(num, den, axis):
+                d = den.sum(axis=axis)
+                ok = d > 0.0
+                # where() on both sides: see the dense path — max(den, eps)
+                # alone lets the division's VJP overflow on empty anchors
+                m = jnp.where(ok, num.sum(axis=axis) / jnp.where(ok, d, 1.0),
+                              0.0)
+                return m.sum(axis=1) / jnp.maximum(
+                    ok.astype(jnp.float32).sum(axis=1), 1.0)
+            hard = float(hn.get('weight', 0.2)) * 0.5 * (
+                wmean(e_num, e, 2) + wmean(e_num, e, 1))
+            if not hn.get('keep_uniform', True):
+                loss = positive
+                negative = jnp.zeros_like(negative)
+        total = (loss.sum(axis=(1, 2)) / norm + hard).mean()
         pos = (positive.sum(axis=(1, 2)) / norm).mean()
-        neg = (negative.sum(axis=(1, 2)) / norm).mean()
+        neg = (negative.sum(axis=(1, 2)) / norm + hard).mean()
         return total, pos, neg
 
     # ---- dense mode ----
@@ -251,8 +285,12 @@ def descriptor_loss(desc1, desc2, homography1, homography2,
     chunks = (to_chunks(d2f), to_chunks(w2f),
               to_chunks(m2) if m2 is not None else jnp.zeros((nc,)))
 
+    hn = config['hard_negative_weighting']
+    hn_on = bool(hn.get('check'))
+    hn_tau = float(hn.get('temperature', 0.1))
+
     def body(acc, inp):
-        t_sum, p_sum, n_sum, v_sum = acc
+        t_sum, p_sum, n_sum, v_sum, row_s, row_c, col_n, col_d = acc
         d2c, w2c, m2c = inp                                   # (B, G, ...)
         dist = jnp.linalg.norm(
             w2c[:, :, None, :] - w1f[:, None, :, :], axis=-1)  # (B, G, N)
@@ -260,24 +298,65 @@ def descriptor_loss(desc1, desc2, homography1, homography2,
         dot = jnp.einsum("bgd,bnd->bgn", d2c, d1f,
                          preferred_element_type=jnp.float32)
         positive = lambda_d * corr * jnp.maximum(0.0, pos_margin - dot)
-        negative = (1 - corr) * jnp.maximum(0.0, dot - neg_margin)
+        neg_hinge = jnp.maximum(0.0, dot - neg_margin)
+        negative = (1 - corr) * neg_hinge
         if m2 is not None:
             vm = m2c[:, :, None] * m1[:, None, :]
             positive = positive * vm
             negative = negative * vm
             v_sum = v_sum + vm.sum(axis=(1, 2))
+        else:
+            vm = jnp.ones_like(corr)
+        if hn_on:
+            # softmax(dot/tau)-weighted negatives over valid
+            # non-corresponding pairs, both anchor directions. Descriptors
+            # are L2-normalized so |dot| <= 1 and exp(dot/tau) is bounded
+            # by e^(1/tau) — accumulable across chunks without a running
+            # max. Rows (anchor = cell2) normalize within the chunk;
+            # columns (anchor = cell1) carry (numerator, denominator) sums.
+            e = jnp.exp(dot / hn_tau) * (1 - corr) * vm        # (B, G, N)
+            e_num = e * neg_hinge
+            r_num = e_num.sum(axis=2)                          # (B, G)
+            r_den = e.sum(axis=2)
+            r_ok = r_den > 0.0
+            # safe divide: max(den, eps) is NOT enough — the VJP of x/den
+            # carries 1/den^2, which overflows to inf (then inf*0 = nan)
+            # for empty rows; where() on BOTH sides keeps the bwd finite
+            row_s = row_s + jnp.where(
+                r_ok, r_num / jnp.where(r_ok, r_den, 1.0), 0.0
+            ).sum(axis=1)                                      # (B,)
+            row_c = row_c + r_ok.astype(jnp.float32).sum(axis=1)
+            col_n = col_n + e_num.sum(axis=1)                  # (B, N)
+            col_d = col_d + e.sum(axis=1)
         p = positive.sum(axis=(1, 2))
         n = negative.sum(axis=(1, 2))
-        return (t_sum + p + n, p_sum + p, n_sum + n, v_sum), None
+        return (t_sum + p + n, p_sum + p, n_sum + n, v_sum,
+                row_s, row_c, col_n, col_d), None
 
     zero = jnp.zeros((B,), jnp.float32)
-    (t_sum, p_sum, n_sum, v_sum), _ = jax.lax.scan(
-        body, (zero, zero, zero, zero), chunks)
+    zero_n = jnp.zeros((B, N), jnp.float32)
+    (t_sum, p_sum, n_sum, v_sum, row_s, row_c, col_n, col_d), _ = \
+        jax.lax.scan(body, (zero, zero, zero, zero,
+                            zero, zero, zero_n, zero_n), chunks)
 
     if m2 is not None:
         norm = jnp.maximum(v_sum, 1.0)
     else:
         norm = float(N * N)
+    if hn_on:
+        row_mean = row_s / jnp.maximum(row_c, 1.0)
+        c_ok = col_d > 0.0
+        col_mean = jnp.where(
+            c_ok, col_n / jnp.where(c_ok, col_d, 1.0), 0.0
+        ).sum(axis=1) / jnp.maximum(c_ok.astype(jnp.float32).sum(axis=1), 1.0)
+        hard = float(hn.get('weight', 0.2)) * 0.5 * (row_mean + col_mean)
+        if not hn.get('keep_uniform', True):
+            t_sum = t_sum - n_sum
+            n_sum = jnp.zeros_like(n_sum)
+        total = (t_sum / norm + hard).mean()
+        pos = (p_sum / norm).mean()
+        neg = (n_sum / norm + hard).mean()
+        return total, pos, neg
     total = (t_sum / norm).mean()
     pos = (p_sum / norm).mean()
     neg = (n_sum / norm).mean()

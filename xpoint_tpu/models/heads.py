@@ -65,8 +65,16 @@ class SpectralBatchNorm(nn.Module):
                     m.value = self.momentum * m.value + (1 - self.momentum) * mean
                     v.value = self.momentum * v.value + (1 - self.momentum) * var
         elif spectrum == "mixed":
-            mean = 0.5 * (stats["optical"][0].value + stats["thermal"][0].value)
-            var = 0.5 * (stats["optical"][1].value + stats["thermal"][1].value)
+            # true 50/50 mixture statistics: the mixture variance includes
+            # the between-spectrum mean-gap term, which is exactly the
+            # quantity this module exists to track (a plain average of the
+            # two variances mis-scales mixed-batch eval when the modality
+            # gap is large)
+            m_o = stats["optical"][0].value
+            m_t = stats["thermal"][0].value
+            mean = 0.5 * (m_o + m_t)
+            var = (0.5 * (stats["optical"][1].value + stats["thermal"][1].value)
+                   + 0.25 * (m_o - m_t) ** 2)
         else:
             mean, var = stats[spectrum][0].value, stats[spectrum][1].value
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias

@@ -100,10 +100,25 @@ def selective_scan_assoc(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
     return _finalize(y, u, D)
 
 
-@partial(jax.jit, static_argnames=("delta_softplus", "backend"))
 def selective_scan(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
                    delta_softplus=True, backend="assoc"):
-    """Dispatching entry point (parity: csms6s.py:112-126)."""
+    """Dispatching entry point (parity: csms6s.py:112-126).
+
+    backend='ring' is the sequence-parallel scale-out path: L sharded over
+    the mesh installed with parallel.ring_scan.ring_mesh(mesh) (opt-in,
+    for images whose sequence exceeds one chip)."""
+    if backend == "ring":
+        from ..parallel.ring_scan import ring_selective_scan, get_ring_mesh
+        mesh, axis_name = get_ring_mesh()
+        return ring_selective_scan(u, delta, A, Bmat, Cmat, D, delta_bias,
+                                   delta_softplus, mesh, axis_name)
+    return _selective_scan_jit(u, delta, A, Bmat, Cmat, D, delta_bias,
+                               delta_softplus, backend)
+
+
+@partial(jax.jit, static_argnames=("delta_softplus", "backend"))
+def _selective_scan_jit(u, delta, A, Bmat, Cmat, D=None, delta_bias=None,
+                        delta_softplus=True, backend="assoc"):
     if backend == "ref":
         fn = selective_scan_ref
     elif backend == "assoc":
