@@ -209,6 +209,23 @@ def main():
             print(f"# train-step bench failed: {type(e).__name__}: {e}",
                   flush=True)
             train = {}
+    # opt-in: flagship train step at the 512² production resolution with
+    # the SPARSE descriptor loss (the dense hinge is O(Hc^4)=64^4/sample
+    # there — the reference's own memory hot spot, losses.py:706-713; the
+    # sparse path, reference losses.py:613-685, is the production setting
+    # at that shape). Off by default to keep driver bench runs short.
+    if os.environ.get("XPOINT_BENCH_TRAIN512", "0") == "1":
+        try:
+            t512 = _train_step_mfu(module, variables, B=4, size=512,
+                                   sparse=True)
+            train.update({f"train512_{k[6:]}": v for k, v in t512.items()})
+            print(f"# train step @512² B=4 sparse: "
+                  f"{t512['train_step_ms']:.1f} ms/step, "
+                  f"{t512.get('train_achieved_tflops', float('nan'))} "
+                  f"TFLOP/s", flush=True)
+        except Exception as e:
+            print(f"# 512² train bench failed: {type(e).__name__}: {e}",
+                  flush=True)
 
     # Reference-chain comparison. The reference repo publishes no numbers
     # (BASELINE.md) and no GPU exists in this environment; the only locally
@@ -250,7 +267,7 @@ def main():
     }))
 
 
-def _train_step_mfu(module, variables, B=8, size=256):
+def _train_step_mfu(module, variables, B=8, size=256, sparse=False):
     """Time the flagship pair train step (forward+backward+adam) and
     report achieved FLOP/s vs the v5e bf16 peak."""
     import optax
@@ -264,6 +281,8 @@ def _train_step_mfu(module, variables, B=8, size=256):
         "lambda": 1.0, "descriptor_loss_threshold": 4.0,
         "descriptor_loss": True, "lambda_d": 250,
         "positive_margin": 1.0, "negative_margin": 0.2,
+        "sparse_descriptor_loss": sparse,
+        "sparse_descriptor_loss_num_cell_divisor": 64,
     })
     tx = optax.adam(1e-4)
     state = TrainState.create(variables["params"],

@@ -186,7 +186,7 @@ training:
         gamma: {sched_gamma}
         step_size: {sched_step}
     output_directory: {work}/pair-train
-    save_every_n_epoch: 0
+    save_every_n_epoch: {save_every}
     use_writer: false
 """
 
@@ -279,6 +279,10 @@ def main():
                          'the lr by this factor every --pair-sched-step '
                          'epochs (reference train.py scheduler semantics)')
     ap.add_argument('--pair-sched-step', type=int, default=600)
+    ap.add_argument('--save-every', type=int, default=0,
+                    help='pair-train checkpoint cadence (e{N} snapshots; '
+                         '0 = latest-only) — makes long runs resumable '
+                         'across TPU-tunnel drops (cli/train.py --resume)')
     ap.add_argument('--ha-num', type=int, default=50)
     ap.add_argument('--multispectral', action='store_true',
                     help='pair-train with TWO encoders routed by spectrum '
@@ -417,7 +421,8 @@ def main():
                 hard_neg_weight=(args.hard_neg_weight
                                  if args.hard_neg_weight is not None else 0.0),
                 hard_neg_keep_uniform=str(
-                    not args.hard_neg_replace_uniform).lower())])
+                    not args.hard_neg_replace_uniform).lower(),
+                save_every=args.save_every)])
     # 5. evaluation sweep (reference benchmark.py -e JSON schema)
     sh([py, 'cli/benchmark.py', '-y', cfg(EVAL_CFG, 'eval.yaml'),
         '-m', f'{w}/pair-train', '-e', '-o', f'{w}/outputs'])
