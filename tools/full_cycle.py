@@ -223,21 +223,21 @@ prediction:
     allow_gpu: true
     num_worker: 0
     batchsize: 1
-    # operating point re-tuned AFTER the spectral-BN fix (the old det
-    # 0.005 / nms 8 point was tuned on the pre-fix collapsed model):
-    # deterministic seed-0 draws, 10-config sweep + seed-1/2 holdout.
-    # h@3 plateaus at 0.5156 for det in [0.0005, 0.002] at nms 4 (vs
-    # 0.4531 at nms 8, 0.328 at the old point = the SIFT anchor); denser
-    # detections trade a little NN-mAP (0.091 vs 0.123 at det 0.005 /
-    # nms 4) for +0.09 registration success — registration is the
-    # framework's target metric, so the committed point takes the h@3
-    # plateau center. subpixel refinement stays off (measured
-    # neutral-to-negative on h-correctness: it tightens already-good
-    # fits but flips borderline registrations)
+    # operating point re-tuned for the round-5 hard-negative-hinge recipe
+    # (tools/op_sweep.py grid, docs/ROUND5_NOTES.md): det-threshold is a
+    # cliff (h@3 0.72/NN-mAP 0.155 at det 0.003 -> 0.55/0.25 at 0.005,
+    # nothing between), but a top-k cap on the NMS survivors trades
+    # smoothly — topk 1024 keeps h@3 0.609 (vs SIFT 0.328) while lifting
+    # NN-mAP@3 to 0.207 (2x the uncapped 0.162; SIFT 0.276). The
+    # registration-max point (topk 0: h@3 0.766) stays documented in the
+    # sweep table; the committed point takes the balanced one. subpixel
+    # refinement stays off (measured neutral-to-negative on
+    # h-correctness: it tightens already-good fits but flips borderline
+    # registrations)
     detection_threshold: 0.001
     subpixel: false
     nms: 4
-    topk: 0
+    topk: 1024
     reprojection_threshold: 3
     matching:
         method: bfmatcher

@@ -55,10 +55,17 @@ def main():
     per_seed = {}
     for seed in range(args.seeds):
         odir = f'{args.work}/holdout_s{seed}'
+        done = (os.path.isdir(odir)
+                and any(f.endswith('.json') for f in os.listdir(odir)))
         cmd = [py, 'cli/benchmark.py', '-y', eval_yaml, '-m', model,
                '-e', '-s', str(seed), '-o', odir]
-        print('+', ' '.join(cmd), flush=True)
-        subprocess.run(cmd, check=True, cwd=REPO)
+        if done:
+            # resume-friendly across TPU-tunnel drops: a seed whose
+            # output JSON exists is not re-evaluated
+            print(f'+ seed {seed}: reusing {odir}', flush=True)
+        else:
+            print('+', ' '.join(cmd), flush=True)
+            subprocess.run(cmd, check=True, cwd=REPO)
         outs = sorted((os.path.join(r, f) for r, _, fs in os.walk(odir)
                        for f in fs if f.endswith('.json')),
                       key=os.path.getmtime)
